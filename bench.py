@@ -1,0 +1,64 @@
+"""Headline benchmark: cornellbox path tracing throughput (Mpaths/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline compares
+against the rays/s floor recorded from the reference's own CPU "standard
+run" proxy — BASELINE.json defines the metric as Mpaths/s on cornellbox
+path tracing; vs_baseline is reported as a ratio vs 1.0 Mpaths/s (a
+generous estimate of the reference's multithreaded CPU throughput on
+this scene; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_MPATHS = 1.0  # estimated reference CPU Mpaths/s (no published numbers)
+
+
+def main() -> None:
+    from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
+    from julia_raytracer_tpu.scene.loader import load_scene
+
+    resolution = 512
+    warm_samples = 2
+    bench_samples = 32
+
+    scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")
+    params = Params(
+        resolution=resolution,
+        samples=warm_samples + bench_samples,
+        bounces=8,
+        sampler="path",
+        batch=warm_samples,
+    )
+    renderer = Renderer(scene, params)
+    state = make_trace_state(scene, params)
+
+    # warmup (compile + first batches)
+    state = renderer.trace_samples(state)
+    state.image.block_until_ready()
+
+    renderer.params.batch = bench_samples
+    t0 = time.perf_counter()
+    state = renderer.trace_samples(state)
+    state.image.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    paths = state.n_pixels * bench_samples
+    mpaths = paths / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "cornellbox_path_throughput",
+                "value": round(mpaths, 3),
+                "unit": "Mpaths/s",
+                "vs_baseline": round(mpaths / BASELINE_MPATHS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,13 @@ PIF = jnp.float32(jnp.pi)
 
 
 def _safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at 0 with a finite gradient everywhere.
+
+    The double-where keeps the forward value exact while preventing the
+    0 * inf = NaN cotangent that plain sqrt(max(x, 0)) produces at x == 0
+    (autodiff flows through unselected where branches)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def _safe_div(a, b):

@@ -1,0 +1,424 @@
+"""Wavefront path integrators (naive + MIS path tracing with volumes).
+
+TPU-first inversion of the reference's per-ray recursion
+(src/trace.jl:276-573): the whole ray batch advances in lock-step inside
+one `lax.while_loop`; every lane carries its own bounce counter, weight,
+RNG stream, and a one-slot volume stack (the reference's volume stack
+never exceeds depth 1: it pushes only when empty, src/trace.jl:405-421).
+
+The loop carries the *current intersection* across iterations: each body
+computes the NEXT ray's intersection at its end. That single traversal
+serves double duty — it is both the next bounce's hit and march step 1
+of the MIS light pdf (see render/lights.py), so the reference's
+pdf re-tracing loop (src/trace.jl:1029-1043) costs zero extra traversals
+in the default configuration.
+
+Control-flow parity with src/trace.jl:
+  - miss -> env radiance unless (bounce == 0 and envhidden)   :299-304
+  - volume transmittance sampling before surface work          :306-326
+  - stochastic opacity skip, cap 128, bounce not consumed      :356-364
+  - first-hit AOVs (albedo/normal) at bounce 0                 :366-370
+  - one-sample MIS, 50/50 bsdf/light, balance-heuristic weight :375-397
+  - delta materials bypass MIS                                 :398-403
+  - volume push/pop on transmission through volumetric         :405-421
+  - in-volume scattering with the same 50/50 MIS               :424-453
+  - weight zero/non-finite break                               :455-457
+  - Russian roulette after bounce 3, p = min(.99, max(w))      :459-465
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from julia_raytracer_tpu.ops import bsdf as bsdf_ops
+from julia_raytracer_tpu.ops import eval as eval_ops
+from julia_raytracer_tpu.ops.geometry import F32_MAX, RAY_EPS
+from julia_raytracer_tpu.ops.traversal import intersect_bruteforce, intersect_bvh
+from julia_raytracer_tpu.render import dispatch, lights as lights_mod
+from julia_raytracer_tpu.render.scene_device import DeviceScene, SceneConfig
+from julia_raytracer_tpu.utils import rng as rng_mod
+from julia_raytracer_tpu.utils.vecmath import dot
+
+BRUTEFORCE_THRESHOLD = 256
+
+
+class TraceOptions(NamedTuple):
+    """Static integrator options (mirrors the Params subset that affects
+    tracing, src/cli.jl:13-86)."""
+
+    sampler: str = "path"  # "path" | "naive"
+    bounces: int = 8
+    envhidden: bool = False
+    nocaustics: bool = False
+    light_pdf_extra_steps: int = 2  # extra whole-scene marches for the light pdf
+    # 0 = data-dependent lax.while_loop (fastest). A positive value runs a
+    # fixed-trip lax.scan instead — required for reverse-mode autodiff
+    # (while_loop has no transpose rule); set to bounces + 1 + an opacity
+    # retry budget. The loop body is fully masked, so both modes produce
+    # identical results.
+    fixed_iterations: int = 0
+
+
+def make_intersect(dscene: DeviceScene, config: SceneConfig):
+    """Closest-hit query against the device scene. Tiny scenes use the
+    dense brute-force path (pure VPU, zero gathers)."""
+    if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
+        def intersect(ro, rd, tmin, tmax):
+            return intersect_bruteforce(dscene.prim_verts, ro, rd, tmin, tmax)
+    else:
+        def intersect(ro, rd, tmin, tmax):
+            return intersect_bvh(dscene.nodes, dscene.prim_verts, ro, rd, tmin, tmax)
+    return intersect
+
+
+def _vec(mask):
+    return mask[..., None]
+
+
+def trace_wavefront(
+    dscene: DeviceScene,
+    config: SceneConfig,
+    options: TraceOptions,
+    ro,
+    rd,
+    rng_state,
+):
+    """Trace a batch of rays to completion.
+
+    Returns (radiance [N,3], hit [N] bool, albedo [N,3], normal [N,3],
+    rng_state) matching trace_path/trace_naive's return contract
+    (src/trace.jl:468, :571)."""
+    n = ro.shape[0]
+    intersect = make_intersect(dscene, config)
+    is_path = options.sampler == "path"
+    counts = config.light_counts
+    has_lights = counts.total > 0
+
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+
+    class S(NamedTuple):
+        ro: jnp.ndarray
+        rd: jnp.ndarray
+        isec_hit: jnp.ndarray
+        isec_prim: jnp.ndarray
+        isec_u: jnp.ndarray
+        isec_v: jnp.ndarray
+        isec_t: jnp.ndarray
+        radiance: jnp.ndarray
+        weight: jnp.ndarray
+        rng: jnp.ndarray
+        bounce: jnp.ndarray
+        opbounce: jnp.ndarray
+        alive: jnp.ndarray
+        hit_flag: jnp.ndarray
+        hit_albedo: jnp.ndarray
+        hit_normal: jnp.ndarray
+        max_roughness: jnp.ndarray
+        vol_density: jnp.ndarray
+        vol_scattering: jnp.ndarray
+        vol_aniso: jnp.ndarray
+        has_vol: jnp.ndarray
+
+    h0 = intersect(ro, rd, jnp.full(n, RAY_EPS), jnp.full(n, F32_MAX))
+    state = S(
+        ro=ro,
+        rd=rd,
+        isec_hit=h0[0],
+        isec_prim=h0[1],
+        isec_u=h0[2],
+        isec_v=h0[3],
+        isec_t=h0[4],
+        radiance=zeros3,
+        weight=jnp.ones((n, 3), jnp.float32),
+        rng=rng_state,
+        bounce=jnp.full(n, -1, jnp.int32),
+        opbounce=jnp.zeros(n, jnp.int32),
+        alive=jnp.ones(n, bool),
+        hit_flag=jnp.zeros(n, bool),
+        hit_albedo=zeros3,
+        hit_normal=zeros3,
+        max_roughness=jnp.zeros(n, jnp.float32),
+        vol_density=zeros3,
+        vol_scattering=zeros3,
+        vol_aniso=jnp.zeros(n, jnp.float32),
+        has_vol=jnp.zeros(n, bool),
+    )
+
+    def body(s: S) -> S:
+        alive = s.alive
+        bounce = jnp.where(alive, s.bounce + 1, s.bounce)
+        rng = s.rng
+        radiance, weight = s.radiance, s.weight
+        outgoing = -s.rd
+
+        # ---- miss: environment lookup (src/trace.jl:299-304)
+        miss = alive & ~s.isec_hit
+        if config.n_envs > 0:
+            env_ok = (bounce > 0) if options.envhidden else jnp.ones(n, bool)
+            env = eval_ops.eval_environment(dscene, s.rd)
+            radiance = radiance + jnp.where(_vec(miss & env_ok), weight * env, 0.0)
+        alive = alive & s.isec_hit
+
+        # ---- volume transmittance (src/trace.jl:306-326)
+        if is_path:
+            in_med = alive & s.has_vol
+            rl, rng = rng_mod.rand1f(rng)
+            rdist, rng = rng_mod.rand1f(rng)
+            dist = bsdf_ops.sample_transmittance(s.vol_density, s.isec_t, rl, rdist)
+            trans = bsdf_ops.eval_transmittance(s.vol_density, dist)
+            tpdf = jax.lax.stop_gradient(
+                bsdf_ops.sample_transmittance_pdf(s.vol_density, dist, s.isec_t)
+            )
+            weight = jnp.where(
+                _vec(in_med), weight * trans / jnp.maximum(tpdf, 1e-30)[..., None], weight
+            )
+            in_volume = in_med & (dist < s.isec_t)
+        else:
+            in_volume = jnp.zeros(n, bool)
+            dist = s.isec_t
+
+        surf = alive & ~in_volume
+
+        # ---- surface evaluation (gathers; src/scene.jl:416-673)
+        prim = jnp.clip(s.isec_prim, 0, dscene.prim_verts.shape[0] - 1)
+        verts, vidx, inst, flags = eval_ops.gather_prim(dscene, prim)
+        u, v = s.isec_u, s.isec_v
+        position = eval_ops.eval_position(verts, u, v)
+        texcoord = eval_ops.eval_texcoord(dscene, vidx, flags, u, v)
+        shp_color = eval_ops.eval_color_attr(dscene, vidx, flags, u, v)
+        material = eval_ops.eval_material(dscene, inst, texcoord, shp_color)
+        mid = dscene.inst_material[inst]
+        normal_tex = dscene.materials.normal_tex[mid]
+        normal = eval_ops.eval_shading_normal(
+            dscene, verts, vidx, inst, flags, u, v, outgoing,
+            material.type, normal_tex, texcoord,
+        )
+
+        max_roughness = s.max_roughness
+        if is_path and options.nocaustics:
+            # clamp roughness to the running max (src/trace.jl:349-354)
+            max_roughness = jnp.where(
+                surf, jnp.maximum(material.roughness, max_roughness), max_roughness
+            )
+            material = material._replace(
+                roughness=jnp.where(surf, max_roughness, material.roughness)
+            )
+
+        # ---- stochastic opacity (src/trace.jl:356-364)
+        r_op, rng = rng_mod.rand1f(rng)
+        op_skip = surf & (material.opacity < 1.0) & (r_op >= material.opacity)
+        op_dead = op_skip & (s.opbounce > 128)
+        alive = alive & ~op_dead
+        op_skip = op_skip & ~op_dead
+        opbounce = jnp.where(op_skip, s.opbounce + 1, s.opbounce)
+        bounce = jnp.where(op_skip, bounce - 1, bounce)
+        surf = surf & ~op_skip
+
+        # ---- first-hit AOVs (src/trace.jl:366-370)
+        first = surf & (bounce == 0)
+        hit_flag = s.hit_flag | first
+        hit_albedo = jnp.where(_vec(first), material.color, s.hit_albedo)
+        hit_normal = jnp.where(_vec(first), normal, s.hit_normal)
+
+        # ---- emission (src/trace.jl:372)
+        radiance = radiance + jnp.where(
+            _vec(surf), weight * eval_ops.eval_emission(material, normal, outgoing), 0.0
+        )
+
+        # ---- direction sampling
+        r_half, rng = rng_mod.rand1f(rng)
+        rnl, rng = rng_mod.rand1f(rng)
+        rn, rng = rng_mod.rand2f(rng)
+        if is_path and has_lights:
+            rl_pick, rng = rng_mod.rand1f(rng)
+            rl_el, rng = rng_mod.rand1f(rng)
+            rl_uv, rng = rng_mod.rand2f(rng)
+
+        delta = eval_ops.is_delta(material)
+        if is_path:
+            bsdf_dir = dispatch.sample_bsdfcos(material, normal, outgoing, rnl, rn)
+            if has_lights:
+                light_dir = lights_mod.sample_lights(
+                    dscene, dscene.lights, counts, position, rl_pick, rl_el, rl_uv
+                )
+                nd_incoming = jnp.where(_vec(r_half < 0.5), bsdf_dir, light_dir)
+            else:
+                nd_incoming = jnp.where(_vec(r_half < 0.5), bsdf_dir, 0.0)
+            d_incoming = dispatch.sample_delta(material, normal, outgoing, rnl)
+            incoming = jnp.where(_vec(delta), d_incoming, nd_incoming)
+        else:
+            # naive: bsdf-importance only; rough-vs-delta on roughness != 0
+            # (src/trace.jl:539-556)
+            rough = material.roughness != 0.0
+            bsdf_dir = dispatch.sample_bsdfcos(material, normal, outgoing, rnl, rn)
+            d_incoming = dispatch.sample_delta(material, normal, outgoing, rnl)
+            incoming = jnp.where(_vec(rough), bsdf_dir, d_incoming)
+            delta = ~rough
+
+        # detached sampling: sampled directions are not differentiated —
+        # gradients flow through eval_bsdfcos/emission/textures only (the
+        # standard detached path-replay estimator)
+        incoming = jax.lax.stop_gradient(incoming)
+        zero_inc = surf & (jnp.sum(jnp.abs(incoming), axis=-1) == 0.0)
+        alive = alive & ~zero_inc
+        surf = surf & ~zero_inc
+
+        # ---- volume scatter direction (src/trace.jl:424-440)
+        vol = alive & in_volume
+        if is_path:
+            vol_position = s.ro + s.rd * dist[..., None]
+            phase_dir = dispatch.sample_scattering(s.vol_density, s.vol_aniso, outgoing, rn)
+            if has_lights:
+                vol_light_dir = lights_mod.sample_lights(
+                    dscene, dscene.lights, counts, vol_position, rl_pick, rl_el, rl_uv
+                )
+                vol_incoming = jnp.where(_vec(r_half < 0.5), phase_dir, vol_light_dir)
+            else:
+                vol_incoming = phase_dir
+            vol_incoming = jax.lax.stop_gradient(vol_incoming)
+            vol_zero = vol & (jnp.sum(jnp.abs(vol_incoming), axis=-1) == 0.0)
+            alive = alive & ~vol_zero
+            vol = vol & ~vol_zero
+        else:
+            vol_position = position
+            vol_incoming = incoming
+
+        # ---- next ray (opacity skips continue straight, src/trace.jl:361-363)
+        new_ro = jnp.where(
+            _vec(op_skip),
+            position + s.rd * 0.01,
+            jnp.where(_vec(vol), vol_position, position),
+        )
+        new_rd = jnp.where(
+            _vec(op_skip), s.rd, jnp.where(_vec(vol), vol_incoming, incoming)
+        )
+
+        # ---- ONE traversal: next bounce's hit + light-pdf march step 1
+        tmax = jnp.where(alive, F32_MAX, RAY_EPS)
+        nxt = intersect(new_ro, new_rd, jnp.full(n, RAY_EPS), tmax)
+
+        # ---- weight updates
+        if is_path:
+            lights_pdf = (
+                lights_mod.sample_lights_pdf(
+                    dscene, dscene.lights, counts, intersect,
+                    new_ro, new_rd, nxt,
+                    extra_steps=options.light_pdf_extra_steps,
+                )
+                if has_lights
+                else jnp.zeros(n, jnp.float32)
+            )
+            # non-delta surface MIS (src/trace.jl:375-397)
+            f_nd = dispatch.eval_bsdfcos(material, normal, outgoing, incoming)
+            pdf_b = dispatch.sample_bsdfcos_pdf(material, normal, outgoing, incoming)
+            # pdfs are detached: the sampling measure is not differentiated
+            denom_nd = jax.lax.stop_gradient(0.5 * pdf_b + 0.5 * lights_pdf)
+            w_nd = f_nd / jnp.maximum(denom_nd, 1e-30)[..., None]
+            # delta (src/trace.jl:398-403)
+            f_d = dispatch.eval_delta(material, normal, outgoing, incoming)
+            pdf_d = jax.lax.stop_gradient(
+                dispatch.sample_delta_pdf(material, normal, outgoing, incoming)
+            )
+            w_d = f_d / jnp.maximum(pdf_d, 1e-30)[..., None]
+            w_surf = jnp.where(_vec(delta), w_d, w_nd)
+            # in-volume MIS (src/trace.jl:441-450)
+            f_v = dispatch.eval_scattering(
+                s.vol_scattering, s.vol_density, s.vol_aniso, outgoing, vol_incoming
+            )
+            pdf_v = dispatch.sample_scattering_pdf(
+                s.vol_density, s.vol_aniso, outgoing, vol_incoming
+            )
+            denom_v = jax.lax.stop_gradient(0.5 * pdf_v + 0.5 * lights_pdf)
+            w_vol = f_v / jnp.maximum(denom_v, 1e-30)[..., None]
+            weight = jnp.where(
+                _vec(surf),
+                weight * w_surf,
+                jnp.where(_vec(vol), weight * w_vol, weight),
+            )
+        else:
+            f_r = dispatch.eval_bsdfcos(material, normal, outgoing, incoming)
+            pdf_r = dispatch.sample_bsdfcos_pdf(material, normal, outgoing, incoming)
+            f_d = dispatch.eval_delta(material, normal, outgoing, incoming)
+            pdf_d = dispatch.sample_delta_pdf(material, normal, outgoing, incoming)
+            pdf_r = jax.lax.stop_gradient(pdf_r)
+            pdf_d = jax.lax.stop_gradient(pdf_d)
+            w_r = f_r / jnp.maximum(pdf_r, 1e-30)[..., None]
+            w_d = f_d / jnp.maximum(pdf_d, 1e-30)[..., None]
+            weight = jnp.where(
+                _vec(surf), weight * jnp.where(_vec(delta), w_d, w_r), weight
+            )
+
+        # ---- volume stack push/pop (src/trace.jl:405-421)
+        vol_density, vol_scattering, vol_aniso, has_vol = (
+            s.vol_density, s.vol_scattering, s.vol_aniso, s.has_vol,
+        )
+        if is_path:
+            transmitted = (
+                eval_ops.is_volumetric_type(material.type)
+                & (dot(normal, outgoing) * dot(normal, incoming) < 0)
+                & surf
+            )
+            push = transmitted & ~s.has_vol
+            pop = transmitted & s.has_vol
+            vol_density = jnp.where(_vec(push), material.density, vol_density)
+            vol_scattering = jnp.where(_vec(push), material.scattering, vol_scattering)
+            vol_aniso = jnp.where(push, material.scanisotropy, vol_aniso)
+            has_vol = jnp.where(push, True, jnp.where(pop, False, has_vol))
+
+        # ---- weight zero / non-finite break (src/trace.jl:455-457)
+        stepped = (surf | vol) & alive
+        w_zero = jnp.sum(jnp.abs(weight), axis=-1) == 0.0
+        w_bad = ~jnp.all(jnp.isfinite(weight), axis=-1)
+        alive = alive & ~(stepped & (w_zero | w_bad))
+
+        # ---- Russian roulette (src/trace.jl:459-465)
+        r_rr, rng = rng_mod.rand1f(rng)
+        rr_lane = stepped & alive & (bounce > 3)
+        rr_prob = jax.lax.stop_gradient(jnp.minimum(0.99, jnp.max(weight, axis=-1)))
+        rr_die = rr_lane & (r_rr >= rr_prob)
+        alive = alive & ~rr_die
+        weight = jnp.where(
+            _vec(rr_lane & ~rr_die), weight / jnp.maximum(rr_prob, 1e-30)[..., None], weight
+        )
+
+        # ---- loop condition (while bounce < bounces, src/trace.jl:295)
+        alive = alive & (bounce < options.bounces)
+
+        return S(
+            ro=new_ro,
+            rd=new_rd,
+            isec_hit=nxt[0],
+            isec_prim=nxt[1],
+            isec_u=nxt[2],
+            isec_v=nxt[3],
+            isec_t=nxt[4],
+            radiance=radiance,
+            weight=weight,
+            rng=rng,
+            bounce=bounce,
+            opbounce=opbounce,
+            alive=alive,
+            hit_flag=hit_flag,
+            hit_albedo=hit_albedo,
+            hit_normal=hit_normal,
+            max_roughness=max_roughness,
+            vol_density=vol_density,
+            vol_scattering=vol_scattering,
+            vol_aniso=vol_aniso,
+            has_vol=has_vol,
+        )
+
+    def cond(s: S):
+        return jnp.any(s.alive)
+
+    if options.fixed_iterations > 0:
+        # fixed-trip scan: reverse-mode differentiable; remat each bounce so
+        # backward memory stays O(state) per iteration instead of O(residuals)
+        step = jax.checkpoint(lambda s, _: (body(s), None))
+        final, _ = jax.lax.scan(step, state, None, length=options.fixed_iterations)
+    else:
+        final = jax.lax.while_loop(cond, body, state)
+    return final.radiance, final.hit_flag, final.hit_albedo, final.hit_normal, final.rng

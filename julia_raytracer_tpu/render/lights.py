@@ -1,0 +1,372 @@
+"""Light table build (host) + device light sampling and pdf.
+
+Semantics follow the reference light layer (src/trace.jl:102-187,
+sample_lights src/trace.jl:968-1008, sample_lights_pdf
+src/trace.jl:1010-1084) with two deliberate changes, both documented:
+
+1. The env-texel -> direction mapping fixes the reference's 1-based
+   off-by-one (`idx % width` with a 1-based idx, src/trace.jl:989-993);
+   we use the correct 0-based texel coordinates. The pdf uses the same
+   texel mapping, so the estimator stays consistent.
+
+2. `sample_lights_pdf` for area lights is re-designed for a TPU
+   wavefront: the reference loops over every light and re-traces the
+   direction against that light's private BVH for up to 100 successive
+   hits (src/trace.jl:1029-1043) — a per-light serial loop. Because all
+   instances live in ONE flattened BVH here, a single march through the
+   scene finds the emissive hits of *all* lights at once: each hit prim
+   carries the total area of its owning light (`prim_light_area`), and
+   accumulating dist^2/(|cos| * area) over emissive march hits yields
+   exactly the same sum (per-light marches ignore occluders; ours passes
+   through them without accumulating). The number of march steps is a
+   quality knob: step 1 reuses the bounce's own next-intersection, extra
+   steps add whole-scene traversals.
+
+CDF layout: all per-light element CDFs are raw float32 cumulative sums
+(matching sample_discrete, src/sampling.jl:33-40) concatenated into one
+flat array per light kind, with (offset, count) per light.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from julia_raytracer_tpu.ops.geometry import interpolate_quad, quad_normal
+from julia_raytracer_tpu.scene.flatten import FLAG_IS_TRIANGLE_SHAPE, FlatScene
+from julia_raytracer_tpu.utils.vecmath import normalize, transform_direction, transform_normal
+
+PIF = jnp.float32(np.pi)
+
+
+class DeviceLights(NamedTuple):
+    """Device-side light table (jnp arrays). Instance lights come first,
+    then environment lights, matching the reference's ordering
+    (src/trace.jl:121-186)."""
+
+    # instance (area) lights
+    inst_cdf: jnp.ndarray  # f32 [Ci] concatenated element-area cumsums
+    inst_cdf_offset: jnp.ndarray  # i32 [Li]
+    inst_cdf_count: jnp.ndarray  # i32 [Li]
+    inst_prim: jnp.ndarray  # i32 [Ci] sorted-prim index per element
+    inst_area: jnp.ndarray  # f32 [Li] total area (cdf last)
+    # environment lights
+    env_id: jnp.ndarray  # i32 [Le] environment index
+    env_cdf: jnp.ndarray  # f32 [Ce] concatenated texel cumsums
+    env_cdf_offset: jnp.ndarray  # i32 [Le]
+    env_cdf_count: jnp.ndarray  # i32 [Le] (0 = no emission texture)
+    # pdf march support: per sorted prim, owning light's total area (0 = not a light)
+    prim_light_area: jnp.ndarray  # f32 [Q]
+
+
+@dataclass
+class LightCounts:
+    """Static light counts (compile-time constants for the integrator)."""
+
+    n_instance: int
+    n_env: int
+
+    @property
+    def total(self) -> int:
+        return self.n_instance + self.n_env
+
+
+def build_lights(flat: FlatScene, order: np.ndarray) -> tuple[DeviceLights, LightCounts]:
+    """Build the light table from the flattened scene.
+
+    `order` is the BVH primitive permutation; emitted prim indices refer
+    to the *sorted* primitive arrays used by traversal.
+    """
+    g = flat.geometry
+    m = flat.materials
+    q = len(order)
+    sorted_instance = g.prim_instance[order] if q else g.prim_instance
+    sorted_verts = g.prim_verts[order] if q else g.prim_verts
+
+    # per-sorted-prim area (quad_area handles degenerate quads = triangles)
+    if q:
+        p1, p2, p3, p4 = (sorted_verts[:, i] for i in range(4))
+        a1 = 0.5 * np.linalg.norm(np.cross(p2 - p1, p4 - p1), axis=-1)
+        a2 = 0.5 * np.linalg.norm(np.cross(p4 - p3, p2 - p3), axis=-1)
+        prim_area = (a1 + a2).astype(np.float32)
+    else:
+        prim_area = np.zeros(0, np.float32)
+
+    emissive_mat = (np.abs(m.emission).sum(axis=1) > 0) if len(m.emission) else np.zeros(0, bool)
+
+    inst_cdf_parts, inst_prim_parts = [], []
+    inst_offsets, inst_counts, inst_areas = [], [], []
+    prim_light_area = np.zeros(max(q, 1), np.float32)
+    offset = 0
+    for i in range(flat.n_instances):
+        mat = g.inst_material[i]
+        if mat < 0 or not emissive_mat[mat]:
+            continue
+        prim_idx = np.nonzero(sorted_instance == i)[0]
+        if len(prim_idx) == 0:
+            continue  # shape without faces (src/trace.jl:127-129)
+        areas = prim_area[prim_idx]
+        cdf = np.cumsum(areas, dtype=np.float32)
+        total = float(cdf[-1])
+        inst_cdf_parts.append(cdf)
+        inst_prim_parts.append(prim_idx.astype(np.int32))
+        inst_offsets.append(offset)
+        inst_counts.append(len(prim_idx))
+        inst_areas.append(total)
+        prim_light_area[prim_idx] = total
+        offset += len(prim_idx)
+
+    env_ids, env_offsets, env_counts, env_cdf_parts = [], [], [], []
+    eoffset = 0
+    env_emission = flat.environments.emission
+    for e in range(len(env_emission)):
+        if np.abs(env_emission[e]).sum() == 0:
+            continue
+        tex_id = int(flat.environments.emission_tex[e])
+        if tex_id >= 0:
+            w = int(flat.textures.width[tex_id])
+            h = int(flat.textures.height[tex_id])
+            toff = int(flat.textures.offset[tex_id])
+            pix = flat.textures.data[toff : toff + w * h]  # raw values (lookup_texture default)
+            j = np.arange(w * h) // w
+            th = (j + 0.5).astype(np.float32) * np.float32(np.pi) / h
+            # NB reference quirk preserved: maximum() spans all 4 channels
+            # including alpha (src/trace.jl:177) — any positive weight is a
+            # valid importance function as long as the pdf uses the same CDF
+            weights = pix.max(axis=1) * np.sin(th)
+            cdf = np.cumsum(weights, dtype=np.float32)
+            env_cdf_parts.append(cdf)
+            env_ids.append(e)
+            env_offsets.append(eoffset)
+            env_counts.append(w * h)
+            eoffset += w * h
+        else:
+            env_ids.append(e)
+            env_offsets.append(eoffset)
+            env_counts.append(0)
+
+    lights = DeviceLights(
+        inst_cdf=jnp.asarray(
+            np.concatenate(inst_cdf_parts) if inst_cdf_parts else np.zeros(1, np.float32)
+        ),
+        inst_cdf_offset=jnp.asarray(np.array(inst_offsets or [0], np.int32)),
+        inst_cdf_count=jnp.asarray(np.array(inst_counts or [0], np.int32)),
+        inst_prim=jnp.asarray(
+            np.concatenate(inst_prim_parts) if inst_prim_parts else np.zeros(1, np.int32)
+        ),
+        inst_area=jnp.asarray(np.array(inst_areas or [0], np.float32)),
+        env_id=jnp.asarray(np.array(env_ids or [0], np.int32)),
+        env_cdf=jnp.asarray(
+            np.concatenate(env_cdf_parts) if env_cdf_parts else np.zeros(1, np.float32)
+        ),
+        env_cdf_offset=jnp.asarray(np.array(env_offsets or [0], np.int32)),
+        env_cdf_count=jnp.asarray(np.array(env_counts or [0], np.int32)),
+        prim_light_area=jnp.asarray(prim_light_area),
+    )
+    counts = LightCounts(n_instance=len(inst_areas), n_env=len(env_ids))
+    return lights, counts
+
+
+# ---------------------------------------------------------------------------
+# Device-side sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_discrete(cdf_flat, offset, count, r):
+    """Segmented sample_discrete (src/sampling.jl:33-40): pick index in
+    [0, count) from the cumsum segment cdf_flat[offset : offset+count].
+
+    Fixed-iteration binary search (upper_bound, src/sampling.jl:42-56)
+    so it traces to a static loop on TPU. All args may be batched.
+    """
+    count = jnp.maximum(count, 1)
+    total = cdf_flat[offset + count - 1]
+    limit = jnp.clip(r * total, 0.0, total - 1e-5)
+    lo = jnp.zeros_like(count)
+    hi = count
+    for _ in range(32):  # count < 2^32 always
+        mid = (lo + hi) // 2
+        go = lo < hi
+        v = cdf_flat[jnp.clip(offset + mid, 0, cdf_flat.shape[0] - 1)]
+        pred = v > limit
+        hi = jnp.where(go & pred, mid, hi)
+        lo = jnp.where(go & ~pred, mid + 1, lo)
+    return jnp.clip(lo, 0, count - 1)
+
+
+def sample_discrete_pdf(cdf_flat, offset, count, idx):
+    """Weight of element idx = cdf[idx] - cdf[idx-1] (src/sampling.jl:38-39)."""
+    hi = cdf_flat[jnp.clip(offset + idx, 0, cdf_flat.shape[0] - 1)]
+    lo = jnp.where(
+        idx > 0, cdf_flat[jnp.clip(offset + idx - 1, 0, cdf_flat.shape[0] - 1)], 0.0
+    )
+    return hi - lo
+
+
+def sample_triangle_uv(ruv):
+    """Uniform triangle warp (src/sampling.jl:60)."""
+    s = jnp.sqrt(ruv[..., 0])
+    return jnp.stack([1.0 - s, ruv[..., 1] * s], axis=-1)
+
+
+def sample_sphere(ruv):
+    """Uniform sphere direction."""
+    z = 2.0 * ruv[..., 1] - 1.0
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * PIF * ruv[..., 0]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def _env_texel_direction(scene, env_idx, texel, tex_id):
+    """Texel index -> world direction through the env frame
+    (src/trace.jl:985-1001, with the 0-based texel fix)."""
+    w = scene.textures.width[tex_id]
+    h = scene.textures.height[tex_id]
+    u = ((texel % jnp.maximum(w, 1)).astype(jnp.float32) + 0.5) / w.astype(jnp.float32)
+    v = ((texel // jnp.maximum(w, 1)).astype(jnp.float32) + 0.5) / h.astype(jnp.float32)
+    local = jnp.stack(
+        [
+            jnp.cos(u * 2.0 * PIF) * jnp.sin(v * PIF),
+            jnp.cos(v * PIF),
+            jnp.sin(u * 2.0 * PIF) * jnp.sin(v * PIF),
+        ],
+        axis=-1,
+    )
+    frame = scene.env_frame[env_idx]
+    return transform_direction(frame, local)
+
+
+def sample_lights(scene, lights: DeviceLights, counts: LightCounts, position, rl, rel, ruv):
+    """Pick a light uniformly, then a point/texel by CDF; return the world
+    direction from `position` (src/trace.jl:968-1008). Batched over lanes."""
+    L = counts.total
+    if L == 0:
+        return jnp.zeros_like(position)
+    lid = jnp.clip((rl * L).astype(jnp.int32), 0, L - 1)
+
+    direction = jnp.zeros_like(position)
+
+    if counts.n_instance > 0:
+        li = jnp.clip(lid, 0, counts.n_instance - 1)
+        off = lights.inst_cdf_offset[li]
+        cnt = lights.inst_cdf_count[li]
+        elem = sample_discrete(lights.inst_cdf, off, cnt, rel)
+        prim = lights.inst_prim[jnp.clip(off + elem, 0, lights.inst_prim.shape[0] - 1)]
+        verts = scene.prim_verts[prim]  # [N,4,3]
+        is_tri = (scene.prim_flags[prim] & FLAG_IS_TRIANGLE_SHAPE) != 0
+        uv = jnp.where(is_tri[..., None], sample_triangle_uv(ruv), ruv)
+        lpos = interpolate_quad(
+            verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :],
+            uv[..., 0], uv[..., 1],
+        )
+        inst_dir = normalize(lpos - position)
+        direction = jnp.where((lid < counts.n_instance)[..., None], inst_dir, direction)
+
+    if counts.n_env > 0:
+        ei = jnp.clip(lid - counts.n_instance, 0, counts.n_env - 1)
+        env_idx = lights.env_id[ei]
+        cnt = lights.env_cdf_count[ei]
+        off = lights.env_cdf_offset[ei]
+        texel = sample_discrete(lights.env_cdf, off, jnp.maximum(cnt, 1), rel)
+        tex_id = jnp.maximum(scene.env_emission_tex[env_idx], 0)
+        tex_dir = _env_texel_direction(scene, env_idx, texel, tex_id)
+        env_dir = jnp.where((cnt > 0)[..., None], tex_dir, sample_sphere(ruv))
+        direction = jnp.where((lid >= counts.n_instance)[..., None], env_dir, direction)
+
+    return direction
+
+
+def env_lights_pdf(scene, lights: DeviceLights, counts: LightCounts, direction):
+    """Sum of env-light direction pdfs (src/trace.jl:1046-1078), without
+    the final 1/L factor."""
+    pdf = jnp.zeros(direction.shape[:-1], jnp.float32)
+    for ei in range(counts.n_env):
+        env_idx = lights.env_id[ei]
+        cnt = lights.env_cdf_count[ei]
+        off = lights.env_cdf_offset[ei]
+        tex_id = jnp.maximum(scene.env_emission_tex[env_idx], 0)
+        w = scene.textures.width[tex_id]
+        h = scene.textures.height[tex_id]
+        wl = transform_normal(scene.env_frame_inv[env_idx], direction)
+        tx = jnp.arctan2(wl[..., 2], wl[..., 0]) / (2.0 * PIF)
+        tx = jnp.where(tx < 0.0, tx + 1.0, tx)
+        ty = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0)) / PIF
+        i = jnp.clip((tx * w).astype(jnp.int32), 0, w - 1)
+        j = jnp.clip((ty * h).astype(jnp.int32), 0, h - 1)
+        idx = j * w + i
+        seg_total = lights.env_cdf[jnp.clip(off + cnt - 1, 0, lights.env_cdf.shape[0] - 1)]
+        prob = sample_discrete_pdf(lights.env_cdf, off, cnt, idx) / jnp.maximum(seg_total, 1e-30)
+        angle = (
+            (2.0 * PIF / w.astype(jnp.float32))
+            * (PIF / h.astype(jnp.float32))
+            * jnp.sin(PIF * (j.astype(jnp.float32) + 0.5) / h.astype(jnp.float32))
+        )
+        with_tex = prob / jnp.maximum(angle, 1e-30)
+        no_tex = jnp.full_like(with_tex, 1.0 / (4.0 * PIF))
+        pdf = pdf + jnp.where(cnt > 0, with_tex, no_tex)
+    return pdf
+
+
+def area_light_hit_pdf(lights: DeviceLights, prim, dist2, lnormal, direction, hit):
+    """One march-step contribution: dist^2 / (|cos| * area_owner) when the
+    hit prim belongs to a light (src/trace.jl:1036-1041)."""
+    area = lights.prim_light_area[jnp.clip(prim, 0, lights.prim_light_area.shape[0] - 1)]
+    cos = jnp.abs(jnp.sum(lnormal * direction, axis=-1))
+    contrib = dist2 / jnp.maximum(cos * area, 1e-30)
+    return jnp.where(hit & (area > 0), contrib, 0.0)
+
+
+def sample_lights_pdf(
+    scene,
+    lights: DeviceLights,
+    counts: LightCounts,
+    intersect_fn,
+    position,
+    direction,
+    first_hit,  # (hit, prim, u, v, t) from the already-computed next intersection
+    extra_steps: int = 4,
+):
+    """Solid-angle pdf of `direction` under light sampling — the flattened
+    single-march equivalent of the reference's per-light re-tracing
+    (src/trace.jl:1010-1084); see module docstring. `first_hit` reuses the
+    bounce's own intersection as march step 1, so `extra_steps` is the
+    number of ADDITIONAL whole-scene traversals."""
+    L = counts.total
+    if L == 0:
+        return jnp.zeros(position.shape[:-1], jnp.float32)
+
+    pdf = jnp.zeros(position.shape[:-1], jnp.float32)
+
+    if counts.n_instance > 0:
+        hit, prim, _, _, t = first_hit
+        verts = scene.prim_verts[jnp.clip(prim, 0, scene.prim_verts.shape[0] - 1)]
+        lnormal = quad_normal(
+            verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :]
+        )
+        t_cum = t
+        pdf = pdf + area_light_hit_pdf(lights, prim, t_cum * t_cum, lnormal, direction, hit)
+        marching = hit
+        for _ in range(extra_steps):
+            # continue from just past the last hit (0.001 offset, src/trace.jl:1042)
+            origin = position + direction * (t_cum + 1e-3)[..., None]
+            tmin = jnp.full_like(t_cum, 1e-4)
+            tmax = jnp.where(marching, jnp.float32(3.4028235e38), jnp.float32(1e-4))
+            hit, prim, _, _, t = intersect_fn(origin, direction, tmin, tmax)
+            hit = hit & marching
+            verts = scene.prim_verts[jnp.clip(prim, 0, scene.prim_verts.shape[0] - 1)]
+            lnormal = quad_normal(
+                verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :]
+            )
+            t_cum = jnp.where(hit, t_cum + 1e-3 + t, t_cum)
+            pdf = pdf + area_light_hit_pdf(
+                lights, prim, t_cum * t_cum, lnormal, direction, hit
+            )
+            marching = hit
+
+    if counts.n_env > 0:
+        pdf = pdf + env_lights_pdf(scene, lights, counts, direction)
+
+    return pdf * jnp.float32(1.0 / L)

@@ -1,0 +1,268 @@
+"""Progressive renderer: camera sampling, per-sample accumulation, AOVs.
+
+Mirrors the reference driver contract (make_trace_state src/trace.jl:189-213,
+trace_samples :215-274, trace_sample :584-649, get_image :676-690) with a
+TPU execution model: one jit-compiled function renders one sample for a
+whole pixel chunk, accumulating in-place into device buffers via donated
+args. The per-(pixel, sample) counter-based RNG makes renders
+deterministic and chunk/shard-invariant — unlike the reference's shared
+global rand() (src/sampling.jl:18).
+
+Checkpoint/resume: the accumulation state (image/albedo/normal/hits +
+sample cursor) is exactly resumable — see TraceState.save/load, which
+makes the progressive lerp accumulation (src/trace.jl:631-648) durable.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from julia_raytracer_tpu.ops.camera import CameraArrays, sample_camera
+from julia_raytracer_tpu.render.integrator import TraceOptions, trace_wavefront
+from julia_raytracer_tpu.render.scene_device import build_device_scene
+from julia_raytracer_tpu.scene.loader import find_camera
+from julia_raytracer_tpu.utils import rng as rng_mod
+
+MAX_CHUNK = 1 << 20  # rays per device dispatch
+
+
+@dataclass
+class Params:
+    """All 17 reference CLI flags (src/cli.jl:13-86) + TPU-side knobs."""
+
+    scene: str = "scene.json"
+    output: str = "out.png"
+    camera: str = ""
+    addsky: bool = False  # accepted-but-stubbed (src/jtrace.jl:35-46)
+    envname: str = ""  # accepted-but-stubbed
+    resolution: int = 1280
+    samples: int = 512
+    bounces: int = 8
+    denoise: bool = False  # accepted-but-stubbed
+    noparallel: bool = False
+    highqualitybvh: bool = False
+    envhidden: bool = False
+    tentfilter: bool = False
+    sampler: str = "path"
+    clamp: float = 10.0
+    nocaustics: bool = False
+    batch: int = 1
+    bvhstacksize: int = 128  # traversal uses fixed short stacks; kept for CLI parity
+    # TPU-side additions
+    seed: int = 0
+    light_pdf_extra_steps: int = 2
+
+
+@dataclass
+class TraceState:
+    """Accumulation buffers (src/trace.jl:87-100), flat pixel-major."""
+
+    width: int
+    height: int
+    samples: int
+    image: jnp.ndarray  # f32 [P, 4]
+    albedo: jnp.ndarray  # f32 [P, 3]
+    normal: jnp.ndarray  # f32 [P, 3]
+    hits: jnp.ndarray  # i32 [P]
+    denoised: jnp.ndarray | None = None
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            width=self.width,
+            height=self.height,
+            samples=self.samples,
+            image=np.asarray(self.image),
+            albedo=np.asarray(self.albedo),
+            normal=np.asarray(self.normal),
+            hits=np.asarray(self.hits),
+        )
+
+    @staticmethod
+    def load(path: str) -> "TraceState":
+        z = np.load(path)
+        return TraceState(
+            width=int(z["width"]),
+            height=int(z["height"]),
+            samples=int(z["samples"]),
+            image=jnp.asarray(z["image"]),
+            albedo=jnp.asarray(z["albedo"]),
+            normal=jnp.asarray(z["normal"]),
+            hits=jnp.asarray(z["hits"]),
+        )
+
+
+def image_size_for(camera, resolution: int) -> tuple[int, int]:
+    """Resolution lands on the long axis per camera aspect (src/trace.jl:191-197)."""
+    if camera.aspect >= 1.0:
+        return resolution, int(round(resolution / camera.aspect))
+    return int(round(resolution * camera.aspect)), resolution
+
+
+def make_trace_state(scene_data, params: Params) -> TraceState:
+    cam_id = max(find_camera(scene_data, params.camera), 0)
+    camera = scene_data.cameras[cam_id]
+    width, height = image_size_for(camera, params.resolution)
+    p = width * height
+    return TraceState(
+        width=width,
+        height=height,
+        samples=0,
+        image=jnp.zeros((p, 4), jnp.float32),
+        albedo=jnp.zeros((p, 3), jnp.float32),
+        normal=jnp.zeros((p, 3), jnp.float32),
+        hits=jnp.zeros(p, jnp.int32),
+    )
+
+
+def camera_arrays(camera) -> CameraArrays:
+    return CameraArrays(
+        frame=jnp.asarray(camera.frame),
+        lens=jnp.float32(camera.lens),
+        film=jnp.float32(camera.film),
+        aspect=jnp.float32(camera.aspect),
+        focus=jnp.float32(camera.focus),
+        aperture=jnp.float32(camera.aperture),
+        orthographic=bool(camera.orthographic),
+    )
+
+
+class Renderer:
+    """Owns the device scene + the compiled per-sample kernel."""
+
+    def __init__(self, scene_data, params: Params):
+        self.params = params
+        self.scene_data = scene_data
+        self.dscene, self.config = build_device_scene(
+            scene_data, highquality_bvh=params.highqualitybvh
+        )
+        cam_id = max(find_camera(scene_data, params.camera), 0)
+        self.camera = scene_data.cameras[cam_id]
+        self.cam_arrays = camera_arrays(self.camera)
+        self.options = TraceOptions(
+            sampler=params.sampler,
+            bounces=params.bounces,
+            envhidden=params.envhidden,
+            nocaustics=params.nocaustics,
+            light_pdf_extra_steps=params.light_pdf_extra_steps,
+        )
+        self._kernel_cache = {}
+
+    # -- per-sample kernel ------------------------------------------------
+
+    def _sample_kernel(self, width: int, height: int, chunk: int):
+        """Compiled fn: (dscene, cam, buffers..., pixel0, sample) -> buffers."""
+        key = (width, height, chunk)
+        if key in self._kernel_cache:
+            return self._kernel_cache[key]
+
+        config, options, params = self.config, self.options, self.params
+        n_pixels = width * height
+        has_envs = config.n_envs > 0
+        orthographic = self.cam_arrays.orthographic
+
+        def kernel(dscene, cam, image, albedo, normal, hits, pixel0, sample_id):
+            cam = cam._replace(orthographic=orthographic)
+            lane = jnp.arange(chunk, dtype=jnp.int32)
+            pixel = pixel0 + lane
+            valid = pixel < n_pixels
+            pix = jnp.clip(pixel, 0, n_pixels - 1)
+            rng = rng_mod.seed_state(pix, sample_id, params.seed)
+            puv, rng = rng_mod.rand2f(rng)
+            luv, rng = rng_mod.rand2f(rng)
+            ij = jnp.stack([pix % width, pix // width], axis=-1)
+            ro, rd = sample_camera(
+                cam, ij, (width, height), puv, luv, params.tentfilter
+            )
+            radiance, hit, albedo_s, normal_s, rng = trace_wavefront(
+                dscene, config, options, ro, rd, rng
+            )
+
+            # NaN scrub + radiance rescale clamp (src/trace.jl:625-630)
+            finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+            radiance = jnp.where(finite[..., None], radiance, 0.0)
+            peak = jnp.max(radiance, axis=-1)
+            scale = jnp.where(peak > params.clamp, params.clamp / jnp.maximum(peak, 1e-30), 1.0)
+            radiance = radiance * scale[..., None]
+
+            # running-mean accumulation (src/trace.jl:631-648)
+            w = jnp.float32(1.0) / (sample_id.astype(jnp.float32) + 1.0)
+            w = jnp.where(valid, w, 0.0)
+            env_case = (~hit) & (not options.envhidden) & has_envs
+            img_new = jnp.where(
+                (hit | env_case)[..., None],
+                jnp.concatenate([radiance, jnp.ones((chunk, 1), jnp.float32)], axis=-1),
+                0.0,
+            )
+            alb_new = jnp.where(
+                hit[..., None], albedo_s, jnp.where(env_case[..., None], 1.0, 0.0)
+            )
+            nrm_new = jnp.where(hit[..., None], normal_s, -rd)
+            hit_inc = jnp.where(valid & (hit | env_case), 1, 0)
+
+            old_img = jax.lax.dynamic_slice(image, (pixel0, 0), (chunk, 4))
+            old_alb = jax.lax.dynamic_slice(albedo, (pixel0, 0), (chunk, 3))
+            old_nrm = jax.lax.dynamic_slice(normal, (pixel0, 0), (chunk, 3))
+            old_hit = jax.lax.dynamic_slice(hits, (pixel0,), (chunk,))
+            image = jax.lax.dynamic_update_slice(
+                image, old_img + (img_new - old_img) * w[..., None], (pixel0, 0)
+            )
+            albedo = jax.lax.dynamic_update_slice(
+                albedo, old_alb + (alb_new - old_alb) * w[..., None], (pixel0, 0)
+            )
+            normal = jax.lax.dynamic_update_slice(
+                normal, old_nrm + (nrm_new - old_nrm) * w[..., None], (pixel0, 0)
+            )
+            hits = jax.lax.dynamic_update_slice(hits, old_hit + hit_inc, (pixel0,))
+            return image, albedo, normal, hits
+
+        fn = jax.jit(kernel, donate_argnums=(2, 3, 4, 5))
+        self._kernel_cache[key] = fn
+        return fn
+
+    # -- driver -----------------------------------------------------------
+
+    def trace_samples(self, state: TraceState) -> TraceState:
+        """Advance one batch of samples (src/trace.jl:215-274)."""
+        params = self.params
+        if state.samples >= params.samples:
+            return state
+        target = min(state.samples + params.batch, params.samples)
+        n = state.n_pixels
+        chunk = min(MAX_CHUNK, n)
+        kernel = self._sample_kernel(state.width, state.height, chunk)
+        image, albedo, normal, hits = state.image, state.albedo, state.normal, state.hits
+        for sample in range(state.samples, target):
+            for pixel0 in range(0, n, chunk):
+                image, albedo, normal, hits = kernel(
+                    self.dscene, self.cam_arrays, image, albedo, normal, hits,
+                    jnp.int32(pixel0), jnp.int32(sample),
+                )
+        state.image, state.albedo, state.normal, state.hits = image, albedo, normal, hits
+        state.samples = target
+        return state
+
+    def get_image(self, state: TraceState) -> np.ndarray:
+        """Final [H, W, 4] float image; prefers the denoised buffer when
+        present (src/trace.jl:676-690)."""
+        src = state.denoised if state.denoised is not None else state.image
+        img = np.asarray(jax.block_until_ready(src))
+        return img[: state.n_pixels].reshape(state.height, state.width, 4)
+
+    def get_aovs(self, state: TraceState) -> dict[str, np.ndarray]:
+        h, w = state.height, state.width
+        return {
+            "albedo": np.asarray(state.albedo)[: h * w].reshape(h, w, 3),
+            "normal": np.asarray(state.normal)[: h * w].reshape(h, w, 3),
+            "hits": np.asarray(state.hits)[: h * w].reshape(h, w),
+        }

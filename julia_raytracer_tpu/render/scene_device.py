@@ -1,0 +1,157 @@
+"""Device-resident scene: every array the integrator touches, as one pytree.
+
+Built from the host FlatScene (scene/flatten.py) + the BVH permutation:
+primitive arrays are reordered to BVH leaf order once, on host, so
+traversal and shading share the same indices with zero indirection.
+Being a NamedTuple-of-arrays, the whole scene threads through jit
+boundaries, shards (replicated) over a device mesh, and participates in
+autodiff — material/texture/emission arrays are differentiable leaves.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from julia_raytracer_tpu.ops.bvh import FlatBVH, build_bvh, quad_bounds
+from julia_raytracer_tpu.render.lights import DeviceLights, LightCounts, build_lights
+from julia_raytracer_tpu.scene.flatten import FlatScene, flatten_scene
+
+
+class DeviceMaterials(NamedTuple):
+    type: jnp.ndarray  # i32 [M]
+    emission: jnp.ndarray  # f32 [M, 3]
+    color: jnp.ndarray  # f32 [M, 3]
+    roughness: jnp.ndarray
+    metallic: jnp.ndarray
+    ior: jnp.ndarray
+    scattering: jnp.ndarray  # [M, 3]
+    scanisotropy: jnp.ndarray
+    trdepth: jnp.ndarray
+    opacity: jnp.ndarray
+    emission_tex: jnp.ndarray  # i32
+    color_tex: jnp.ndarray
+    roughness_tex: jnp.ndarray
+    scattering_tex: jnp.ndarray
+    normal_tex: jnp.ndarray
+
+
+class DeviceTextures(NamedTuple):
+    data: jnp.ndarray  # f32 [P, 4]
+    offset: jnp.ndarray  # i32 [T]
+    width: jnp.ndarray  # i32 [T]
+    height: jnp.ndarray  # i32 [T]
+    linear: jnp.ndarray  # bool [T]
+
+
+class DeviceScene(NamedTuple):
+    """All scene arrays, primitive arrays in BVH leaf order."""
+
+    # geometry (sorted by BVH order)
+    prim_verts: jnp.ndarray  # f32 [Q, 4, 3]
+    prim_vidx: jnp.ndarray  # i32 [Q, 4]
+    prim_instance: jnp.ndarray  # i32 [Q]
+    prim_flags: jnp.ndarray  # i32 [Q]
+    nodes: jnp.ndarray  # f32 [Nn, 16] packed BVH
+    # vertex attributes (concatenated across shapes)
+    vert_normals: jnp.ndarray
+    vert_texcoords: jnp.ndarray
+    vert_colors: jnp.ndarray
+    # instances
+    inst_frame: jnp.ndarray  # f32 [I, 4, 3]
+    inst_material: jnp.ndarray  # i32 [I]
+    # tables
+    materials: DeviceMaterials
+    textures: DeviceTextures
+    # environments
+    env_frame: jnp.ndarray  # f32 [E, 4, 3]
+    env_frame_inv: jnp.ndarray
+    env_emission: jnp.ndarray  # f32 [E, 3]
+    env_emission_tex: jnp.ndarray  # i32 [E]
+    # lights
+    lights: DeviceLights
+
+
+class SceneConfig(NamedTuple):
+    """Static (compile-time) facts about the scene."""
+
+    n_prims: int
+    root_is_leaf: bool
+    n_envs: int
+    light_counts: LightCounts
+    has_normal_maps: bool
+    has_opacity: bool
+
+
+def build_device_scene(
+    scene_data, highquality_bvh: bool = False
+) -> tuple[DeviceScene, SceneConfig]:
+    """Host SceneData -> (DeviceScene, SceneConfig). Flattens, builds the
+    BVH, reorders primitives, and assembles the light table."""
+    flat = flatten_scene(scene_data)
+    g = flat.geometry
+    bb_min, bb_max = quad_bounds(g.prim_verts)
+    tree: FlatBVH = build_bvh(bb_min, bb_max)
+    order = tree.order
+
+    def sort(a):
+        return a[order] if len(order) else a
+
+    lights, light_counts = build_lights(flat, order)
+
+    m = flat.materials
+    t = flat.textures
+    e = flat.environments
+
+    dscene = DeviceScene(
+        prim_verts=jnp.asarray(sort(g.prim_verts)),
+        prim_vidx=jnp.asarray(sort(g.prim_vidx)),
+        prim_instance=jnp.asarray(sort(g.prim_instance)),
+        prim_flags=jnp.asarray(sort(g.prim_flags)),
+        nodes=jnp.asarray(tree.nodes),
+        vert_normals=jnp.asarray(g.vert_normals),
+        vert_texcoords=jnp.asarray(g.vert_texcoords),
+        vert_colors=jnp.asarray(g.vert_colors),
+        inst_frame=jnp.asarray(g.inst_frame),
+        inst_material=jnp.asarray(np.maximum(g.inst_material, 0)),
+        materials=DeviceMaterials(
+            type=jnp.asarray(m.type),
+            emission=jnp.asarray(m.emission),
+            color=jnp.asarray(m.color),
+            roughness=jnp.asarray(m.roughness),
+            metallic=jnp.asarray(m.metallic),
+            ior=jnp.asarray(m.ior),
+            scattering=jnp.asarray(m.scattering),
+            scanisotropy=jnp.asarray(m.scanisotropy),
+            trdepth=jnp.asarray(m.trdepth),
+            opacity=jnp.asarray(m.opacity),
+            emission_tex=jnp.asarray(m.emission_tex),
+            color_tex=jnp.asarray(m.color_tex),
+            roughness_tex=jnp.asarray(m.roughness_tex),
+            scattering_tex=jnp.asarray(m.scattering_tex),
+            normal_tex=jnp.asarray(m.normal_tex),
+        ),
+        textures=DeviceTextures(
+            data=jnp.asarray(t.data),
+            offset=jnp.asarray(t.offset),
+            width=jnp.asarray(t.width),
+            height=jnp.asarray(t.height),
+            linear=jnp.asarray(t.linear),
+        ),
+        env_frame=jnp.asarray(e.frame),
+        env_frame_inv=jnp.asarray(e.frame_inv),
+        env_emission=jnp.asarray(e.emission),
+        env_emission_tex=jnp.asarray(e.emission_tex),
+        lights=lights,
+    )
+    config = SceneConfig(
+        n_prims=tree.n_prims,
+        root_is_leaf=tree.root_is_leaf,
+        n_envs=len(e.emission),
+        light_counts=light_counts,
+        has_normal_maps=bool((m.normal_tex >= 0).any()) if len(m.normal_tex) else False,
+        has_opacity=bool((m.opacity < 1.0).any()) if len(m.opacity) else False,
+    )
+    return dscene, config

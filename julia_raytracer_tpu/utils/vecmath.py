@@ -32,7 +32,10 @@ def cross(a, b):
 
 
 def length(a):
-    return jnp.sqrt(dot(a, a))
+    # double-where: finite gradient at |a| == 0 (0 * inf guard for autodiff)
+    d = dot(a, a)
+    pos = d > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d, 1.0)), 0.0)
 
 
 def distance_squared(a, b):
@@ -59,7 +62,12 @@ def reflect(w, n):
 
 
 def refract(w, n, inv_eta):
-    """Refraction; returns 0 on total internal reflection (src/math.jl:133-140)."""
+    """Refraction; returns 0 on total internal reflection (src/math.jl:133-140).
+
+    `inv_eta` may be scalar or batched [...] (one per lane)."""
+    inv_eta = jnp.asarray(inv_eta, jnp.float32)
+    if inv_eta.ndim == w.ndim - 1:
+        inv_eta = inv_eta[..., None]
     cosine = dot_keep(n, w)
     k = 1.0 + inv_eta * inv_eta * (cosine * cosine - 1.0)
     refr = -w * inv_eta + (inv_eta * cosine - jnp.sqrt(jnp.maximum(k, 0.0))) * n

@@ -36,14 +36,14 @@ def test_leaf_encoding_roundtrip():
 
 
 def test_bvh_vs_bruteforce_random(rng):
-    prims = random_tri_soup(rng, 3000)
+    prims = random_tri_soup(rng, 1200)
     tree = bvh_mod.build_bvh(*bvh_mod.quad_bounds(prims))
     assert not tree.root_is_leaf
     sorted_prims = prims[tree.order]
 
-    ro, rd = random_rays(rng, 512)
-    tmin = jnp.full(512, RAY_EPS)
-    tmax = jnp.full(512, 3.4e38)
+    ro, rd = random_rays(rng, 256)
+    tmin = jnp.full(256, RAY_EPS)
+    tmax = jnp.full(256, 3.4e38)
 
     bh, bp, bu, bv, bt = intersect_bruteforce(jnp.asarray(sorted_prims), ro, rd, tmin, tmax)
     th, tp, tu, tv, tt = intersect_bvh(
