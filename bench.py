@@ -12,12 +12,22 @@ this scene; see BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_MPATHS = 1.0  # estimated reference CPU Mpaths/s (no published numbers)
 
 
+def _enable_compile_cache() -> None:
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> None:
+    _enable_compile_cache()
     from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
     from julia_raytracer_tpu.scene.loader import load_scene
 

@@ -65,6 +65,20 @@ def parse_cli_args(argv) -> Params:
 
 
 def main(argv=None) -> int:
+    import os
+
+    import jax
+
+    # persistent compile cache: the integrator megakernel takes minutes to
+    # compile cold; re-renders of the same (scene features, resolution)
+    # combination hit the cache
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     params, a = parse_cli_args(sys.argv[1:] if argv is None else argv)
     # stubbed flags warn exactly like the reference (src/jtrace.jl:35-46)
     if params.addsky:

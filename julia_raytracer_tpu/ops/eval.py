@@ -88,8 +88,14 @@ def eval_element_normal(verts):
     return quad_normal(verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :])
 
 
-def eval_normal(scene, verts, vidx, inst, flags, u, v):
-    """Interpolated shading normal, world space (src/scene.jl:525-576)."""
+def eval_normal(scene, gnormal, vidx, inst, flags, u, v, with_vertex_normals=True):
+    """Interpolated shading normal, world space (src/scene.jl:525-576).
+
+    `gnormal` is the precomputed element normal (from the intersector);
+    `with_vertex_normals=False` (scene-specialized: no shape has vertex
+    normals) statically skips the gather + interpolation."""
+    if not with_vertex_normals:
+        return gnormal
     vn = scene.vert_normals[vidx]  # [N,4,3]
     interp = normalize(
         interpolate_quad(vn[..., 0, :], vn[..., 1, :], vn[..., 2, :], vn[..., 3, :], u, v)
@@ -97,7 +103,7 @@ def eval_normal(scene, verts, vidx, inst, flags, u, v):
     frame = scene.inst_frame[inst]
     world = transform_normal(frame, interp)
     has = (flags & FLAG_HAS_NORMALS) != 0
-    return jnp.where(has[..., None], world, eval_element_normal(verts))
+    return jnp.where(has[..., None], world, gnormal)
 
 
 def eval_element_tangents(scene, verts, vidx, flags):
@@ -132,14 +138,25 @@ def eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx, flags):
     return jnp.where(apply[..., None], mapped, normal)
 
 
-def eval_shading_normal(scene, verts, vidx, inst, flags, u, v, outgoing, mat_type, normal_tex, texcoord):
+def eval_shading_normal(
+    scene, gnormal, verts, vidx, inst, flags, u, v, outgoing, mat_type, normal_tex,
+    texcoord, with_normalmap=True, with_vertex_normals=True, refractive_present=True,
+):
     """Full shading-normal pipeline (src/scene.jl:479-523): vertex normal,
     optional normal map, faceforward — except refractive materials keep
-    the geometric orientation (src/scene.jl:504-506)."""
-    normal = eval_normal(scene, verts, vidx, inst, flags, u, v)
-    normal = eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx, flags)
-    keep = mat_type == MaterialType.REFRACTIVE
+    the geometric orientation (src/scene.jl:504-506). The with_* flags
+    statically drop stages the scene cannot exercise. `verts` may be None
+    when with_normalmap is False (only the tangent path needs it)."""
+    normal = eval_normal(
+        scene, gnormal, vidx, inst, flags, u, v,
+        with_vertex_normals=with_vertex_normals,
+    )
+    if with_normalmap:
+        normal = eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx, flags)
     forward = jnp.where(dot(normal, outgoing)[..., None] >= 0.0, normal, -normal)
+    if not refractive_present:
+        return forward
+    keep = mat_type == MaterialType.REFRACTIVE
     return jnp.where(keep[..., None], normal, forward)
 
 

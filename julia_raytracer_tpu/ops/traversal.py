@@ -18,14 +18,46 @@ like cornellbox (36 prims).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from julia_raytracer_tpu.ops.geometry import F32_MAX, intersect_bbox, intersect_quad
+from julia_raytracer_tpu.ops.geometry import (
+    F32_MAX,
+    intersect_bbox,
+    intersect_quad,
+    interpolate_quad,
+    quad_normal,
+)
 
 STACK_DEPTH = 48
 LEAF_UNROLL = 4  # matches builder leaf size
+
+
+class Hit(NamedTuple):
+    """Closest-hit record. `position` is the interpolated surface point
+    (eval_position semantics, src/scene.jl:435-476) and `gnormal` the
+    uv-independent element normal (eval_element_normal,
+    src/scene.jl:578-612) — both computed inside the intersector so
+    shading needs no [N,4,3] vertex gather on the hot path."""
+
+    hit: jnp.ndarray  # bool [N]
+    prim: jnp.ndarray  # i32 [N]
+    u: jnp.ndarray  # f32 [N]
+    v: jnp.ndarray  # f32 [N]
+    t: jnp.ndarray  # f32 [N]
+    position: jnp.ndarray  # f32 [N, 3]
+    gnormal: jnp.ndarray  # f32 [N, 3]
+
+
+def hit_surface(prim_verts, prim, u, v):
+    """(position, gnormal) for hit records via vertex gather (the jnp
+    fallback; the Pallas kernel computes these from baked constants)."""
+    verts = prim_verts[jnp.clip(prim, 0, prim_verts.shape[0] - 1)]
+    p1, p2, p3, p4 = (verts[..., k, :] for k in range(4))
+    position = interpolate_quad(p1, p2, p3, p4, u, v)
+    return position, quad_normal(p1, p2, p3, p4)
 
 
 def intersect_bruteforce(prim_verts, ro, rd, tmin, tmax, prim_mask=None):
@@ -47,13 +79,11 @@ def intersect_bruteforce(prim_verts, ro, rd, tmin, tmax, prim_mask=None):
     t = jnp.where(h, t, F32_MAX)
     best = jnp.argmin(t, axis=1)
     n = jnp.arange(ro.shape[0])
-    return (
-        h[n, best],
-        best.astype(jnp.int32),
-        u[n, best],
-        v[n, best],
-        t[n, best],
-    )
+    hit = h[n, best]
+    prim = best.astype(jnp.int32)
+    bu, bv, bt = u[n, best], v[n, best], t[n, best]
+    pos, gn = hit_surface(prim_verts, prim, bu, bv)
+    return Hit(hit, prim, bu, bv, bt, pos, gn)
 
 
 @partial(jax.jit, static_argnames=("find_any",))
@@ -147,7 +177,10 @@ def intersect_bvh(nodes, prim_verts, ro, rd, tmin, tmax, find_any: bool = False)
     state = jax.lax.while_loop(cond, step, state)
     _, _, _, _, best_t, best_prim, best_u, best_v = state
     hit = best_prim >= 0
-    return hit, best_prim, best_u, best_v, jnp.where(hit, best_t, tmax)
+    pos, gn = hit_surface(prim_verts, jnp.maximum(best_prim, 0), best_u, best_v)
+    return Hit(
+        hit, best_prim, best_u, best_v, jnp.where(hit, best_t, tmax), pos, gn
+    )
 
 
 def make_intersector(bvh, prim_verts_np, bruteforce_threshold: int = 512):

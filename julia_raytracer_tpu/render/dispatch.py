@@ -2,10 +2,15 @@
 
 The reference dispatches with an if/elseif chain per ray
 (src/trace.jl:692-966). On a TPU wavefront every lane carries its own
-material type, so each lobe is evaluated for the whole batch (cheap VPU
-math) and the per-lane result selected by type mask. `subsurface` aliases
-to the refractive lobes (src/trace.jl:733-741) and `volumetric` is
-delta-passthrough (src/trace.jl:771-773, 865-867).
+material type, so each present lobe is evaluated for the whole batch
+(cheap VPU math) and the per-lane result selected by type mask.
+`subsurface` aliases to the refractive lobes (src/trace.jl:733-741) and
+`volumetric` is delta-passthrough (src/trace.jl:771-773, 865-867).
+
+Scene specialization: every dispatch takes `present`
+(SceneConfig.present_types); lobes for material types the scene does not
+contain are pruned AT TRACE TIME — they cost nothing, and a single-lobe
+scene compiles to straight-line code with no select at all.
 
 Rough (roughness != 0) lobes live in eval/sample/pdf_bsdfcos; delta
 (roughness == 0) lobes in eval/sample/pdf_delta — the roughness gate at
@@ -19,180 +24,118 @@ import jax.numpy as jnp
 from julia_raytracer_tpu.ops import bsdf
 from julia_raytracer_tpu.scene.types import MaterialType
 
-_ZERO3 = 0.0
+M = MaterialType
 
 
-def _sel(mtype, pairs, default_shape, width=3):
-    """Masked select: pairs = [(MaterialType, value [..., W])]."""
+def _sel(mtype, pairs, default_shape, width=3, present=None):
+    """Masked select: pairs = [(MaterialType, thunk -> [..., W])].
+
+    `present` statically prunes lobes the scene cannot produce — pruned
+    thunks are never traced. With exactly one live lobe the select
+    disappears entirely."""
+    live = [(t, f) for t, f in pairs if present is None or int(t) in present]
+    if len(live) == 1:
+        return live[0][1]()
     out = jnp.zeros(default_shape if width == 3 else default_shape[:-1], jnp.float32)
-    for t, val in pairs:
+    for t, f in live:
         mask = mtype == t
-        out = jnp.where(mask[..., None] if width == 3 else mask, val, out)
+        out = jnp.where(mask[..., None] if width == 3 else mask, f(), out)
     return out
 
 
-def eval_bsdfcos(material, normal, outgoing, incoming):
+def eval_bsdfcos(material, normal, outgoing, incoming, present=None):
     """src/trace.jl:692-755 (roughness == 0 -> black)."""
-    c, r = material.color, material.roughness
+    c, r, ior, met = material.color, material.roughness, material.ior, material.metallic
     pairs = [
-        (MaterialType.MATTE, bsdf.eval_matte(c, normal, outgoing, incoming)),
-        (
-            MaterialType.GLOSSY,
-            bsdf.eval_glossy(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (MaterialType.REFLECTIVE, bsdf.eval_reflective(c, r, normal, outgoing, incoming)),
-        (
-            MaterialType.TRANSPARENT,
-            bsdf.eval_transparent(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.REFRACTIVE,
-            bsdf.eval_refractive(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.SUBSURFACE,
-            bsdf.eval_refractive(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.GLTFPBR,
-            bsdf.eval_gltfpbr(
-                c, material.ior, r, material.metallic, normal, outgoing, incoming
-            ),
-        ),
+        (M.MATTE, lambda: bsdf.eval_matte(c, normal, outgoing, incoming)),
+        (M.GLOSSY, lambda: bsdf.eval_glossy(c, ior, r, normal, outgoing, incoming)),
+        (M.REFLECTIVE, lambda: bsdf.eval_reflective(c, r, normal, outgoing, incoming)),
+        (M.TRANSPARENT, lambda: bsdf.eval_transparent(c, ior, r, normal, outgoing, incoming)),
+        (M.REFRACTIVE, lambda: bsdf.eval_refractive(c, ior, r, normal, outgoing, incoming)),
+        (M.SUBSURFACE, lambda: bsdf.eval_refractive(c, ior, r, normal, outgoing, incoming)),
+        (M.GLTFPBR, lambda: bsdf.eval_gltfpbr(c, ior, r, met, normal, outgoing, incoming)),
     ]
-    out = _sel(material.type, pairs, c.shape)
+    out = _sel(material.type, pairs, c.shape, present=present)
     return jnp.where((r == 0.0)[..., None], 0.0, out)
 
 
-def sample_bsdfcos(material, normal, outgoing, rnl, rn):
+def sample_bsdfcos(material, normal, outgoing, rnl, rn, present=None):
     """src/trace.jl:780-849. Returns zero direction where roughness == 0."""
-    c, r = material.color, material.roughness
+    c, r, ior, met = material.color, material.roughness, material.ior, material.metallic
     pairs = [
-        (MaterialType.MATTE, bsdf.sample_matte(c, normal, outgoing, rn)),
-        (
-            MaterialType.GLOSSY,
-            bsdf.sample_glossy(c, material.ior, r, normal, outgoing, rnl, rn),
-        ),
-        (MaterialType.REFLECTIVE, bsdf.sample_reflective(c, r, normal, outgoing, rn)),
-        (
-            MaterialType.TRANSPARENT,
-            bsdf.sample_transparent(c, material.ior, r, normal, outgoing, rnl, rn),
-        ),
-        (
-            MaterialType.REFRACTIVE,
-            bsdf.sample_refractive(c, material.ior, r, normal, outgoing, rnl, rn),
-        ),
-        (
-            MaterialType.SUBSURFACE,
-            bsdf.sample_refractive(c, material.ior, r, normal, outgoing, rnl, rn),
-        ),
-        (
-            MaterialType.GLTFPBR,
-            bsdf.sample_gltfpbr(
-                c, material.ior, r, material.metallic, normal, outgoing, rnl, rn
-            ),
-        ),
+        (M.MATTE, lambda: bsdf.sample_matte(c, normal, outgoing, rn)),
+        (M.GLOSSY, lambda: bsdf.sample_glossy(c, ior, r, normal, outgoing, rnl, rn)),
+        (M.REFLECTIVE, lambda: bsdf.sample_reflective(c, r, normal, outgoing, rn)),
+        (M.TRANSPARENT, lambda: bsdf.sample_transparent(c, ior, r, normal, outgoing, rnl, rn)),
+        (M.REFRACTIVE, lambda: bsdf.sample_refractive(c, ior, r, normal, outgoing, rnl, rn)),
+        (M.SUBSURFACE, lambda: bsdf.sample_refractive(c, ior, r, normal, outgoing, rnl, rn)),
+        (M.GLTFPBR, lambda: bsdf.sample_gltfpbr(c, ior, r, met, normal, outgoing, rnl, rn)),
     ]
-    out = _sel(material.type, pairs, c.shape)
+    out = _sel(material.type, pairs, c.shape, present=present)
     return jnp.where((r == 0.0)[..., None], 0.0, out)
 
 
-def sample_bsdfcos_pdf(material, normal, outgoing, incoming):
+def sample_bsdfcos_pdf(material, normal, outgoing, incoming, present=None):
     """src/trace.jl:874-943."""
-    c, r = material.color, material.roughness
+    c, r, ior, met = material.color, material.roughness, material.ior, material.metallic
     pairs = [
-        (MaterialType.MATTE, bsdf.sample_matte_pdf(c, normal, outgoing, incoming)),
-        (
-            MaterialType.GLOSSY,
-            bsdf.sample_glossy_pdf(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.REFLECTIVE,
-            bsdf.sample_reflective_pdf(c, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.TRANSPARENT,
-            bsdf.sample_transparent_pdf(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.REFRACTIVE,
-            bsdf.sample_refractive_pdf(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.SUBSURFACE,
-            bsdf.sample_refractive_pdf(c, material.ior, r, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.GLTFPBR,
-            bsdf.sample_gltfpbr_pdf(
-                c, material.ior, r, material.metallic, normal, outgoing, incoming
-            ),
-        ),
+        (M.MATTE, lambda: bsdf.sample_matte_pdf(c, normal, outgoing, incoming)),
+        (M.GLOSSY, lambda: bsdf.sample_glossy_pdf(c, ior, r, normal, outgoing, incoming)),
+        (M.REFLECTIVE, lambda: bsdf.sample_reflective_pdf(c, r, normal, outgoing, incoming)),
+        (M.TRANSPARENT, lambda: bsdf.sample_transparent_pdf(c, ior, r, normal, outgoing, incoming)),
+        (M.REFRACTIVE, lambda: bsdf.sample_refractive_pdf(c, ior, r, normal, outgoing, incoming)),
+        (M.SUBSURFACE, lambda: bsdf.sample_refractive_pdf(c, ior, r, normal, outgoing, incoming)),
+        (M.GLTFPBR, lambda: bsdf.sample_gltfpbr_pdf(c, ior, r, met, normal, outgoing, incoming)),
     ]
-    out = _sel(material.type, pairs, c.shape, width=1)
+    out = _sel(material.type, pairs, c.shape, width=1, present=present)
     return jnp.where(r == 0.0, 0.0, out)
 
 
-def eval_delta(material, normal, outgoing, incoming):
+def eval_delta(material, normal, outgoing, incoming, present=None):
     """src/trace.jl:757-778 (roughness != 0 -> black)."""
-    c = material.color
+    c, ior = material.color, material.ior
     pairs = [
-        (MaterialType.REFLECTIVE, bsdf.eval_reflective_delta(c, normal, outgoing, incoming)),
-        (
-            MaterialType.TRANSPARENT,
-            bsdf.eval_transparent_delta(c, material.ior, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.REFRACTIVE,
-            bsdf.eval_refractive_delta(c, material.ior, normal, outgoing, incoming),
-        ),
-        (MaterialType.VOLUMETRIC, bsdf.eval_passthrough(c, normal, outgoing, incoming)),
+        (M.REFLECTIVE, lambda: bsdf.eval_reflective_delta(c, normal, outgoing, incoming)),
+        (M.TRANSPARENT, lambda: bsdf.eval_transparent_delta(c, ior, normal, outgoing, incoming)),
+        (M.REFRACTIVE, lambda: bsdf.eval_refractive_delta(c, ior, normal, outgoing, incoming)),
+        (M.VOLUMETRIC, lambda: bsdf.eval_passthrough(c, normal, outgoing, incoming)),
     ]
-    out = _sel(material.type, pairs, c.shape)
+    live = [(t, f) for t, f in pairs if present is None or int(t) in present]
+    if not live:
+        return jnp.zeros_like(c)
+    out = _sel(material.type, live, c.shape)
     return jnp.where((material.roughness != 0.0)[..., None], 0.0, out)
 
 
-def sample_delta(material, normal, outgoing, rnl):
+def sample_delta(material, normal, outgoing, rnl, present=None):
     """src/trace.jl:851-872."""
-    c = material.color
+    c, ior = material.color, material.ior
     pairs = [
-        (MaterialType.REFLECTIVE, bsdf.sample_reflective_delta(c, normal, outgoing)),
-        (
-            MaterialType.TRANSPARENT,
-            bsdf.sample_transparent_delta(c, material.ior, normal, outgoing, rnl),
-        ),
-        (
-            MaterialType.REFRACTIVE,
-            bsdf.sample_refractive_delta(c, material.ior, normal, outgoing, rnl),
-        ),
-        (MaterialType.VOLUMETRIC, bsdf.sample_passthrough(c, normal, outgoing)),
+        (M.REFLECTIVE, lambda: bsdf.sample_reflective_delta(c, normal, outgoing)),
+        (M.TRANSPARENT, lambda: bsdf.sample_transparent_delta(c, ior, normal, outgoing, rnl)),
+        (M.REFRACTIVE, lambda: bsdf.sample_refractive_delta(c, ior, normal, outgoing, rnl)),
+        (M.VOLUMETRIC, lambda: bsdf.sample_passthrough(c, normal, outgoing)),
     ]
-    out = _sel(material.type, pairs, c.shape)
+    live = [(t, f) for t, f in pairs if present is None or int(t) in present]
+    if not live:
+        return jnp.zeros_like(c)
+    out = _sel(material.type, live, c.shape)
     return jnp.where((material.roughness != 0.0)[..., None], 0.0, out)
 
 
-def sample_delta_pdf(material, normal, outgoing, incoming):
+def sample_delta_pdf(material, normal, outgoing, incoming, present=None):
     """src/trace.jl:945-966."""
-    c = material.color
+    c, ior = material.color, material.ior
     pairs = [
-        (
-            MaterialType.REFLECTIVE,
-            bsdf.sample_reflective_delta_pdf(c, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.TRANSPARENT,
-            bsdf.sample_transparent_delta_pdf(c, material.ior, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.REFRACTIVE,
-            bsdf.sample_refractive_delta_pdf(c, material.ior, normal, outgoing, incoming),
-        ),
-        (
-            MaterialType.VOLUMETRIC,
-            bsdf.sample_passthrough_pdf(c, normal, outgoing, incoming),
-        ),
+        (M.REFLECTIVE, lambda: bsdf.sample_reflective_delta_pdf(c, normal, outgoing, incoming)),
+        (M.TRANSPARENT, lambda: bsdf.sample_transparent_delta_pdf(c, ior, normal, outgoing, incoming)),
+        (M.REFRACTIVE, lambda: bsdf.sample_refractive_delta_pdf(c, ior, normal, outgoing, incoming)),
+        (M.VOLUMETRIC, lambda: bsdf.sample_passthrough_pdf(c, normal, outgoing, incoming)),
     ]
-    out = _sel(material.type, pairs, c.shape, width=1)
+    live = [(t, f) for t, f in pairs if present is None or int(t) in present]
+    if not live:
+        return jnp.zeros(c.shape[:-1], jnp.float32)
+    out = _sel(material.type, live, c.shape, width=1)
     return jnp.where(material.roughness != 0.0, 0.0, out)
 
 

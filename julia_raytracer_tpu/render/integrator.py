@@ -63,8 +63,9 @@ class TraceOptions(NamedTuple):
 
 
 def make_intersect(dscene: DeviceScene, config: SceneConfig):
-    """Closest-hit query against the device scene. Tiny scenes use the
-    dense brute-force path (pure VPU, zero gathers)."""
+    """Closest-hit query against the device scene (traceable; reads the
+    possibly-traced dscene arrays). Tiny scenes use the dense brute-force
+    path (pure VPU, zero gathers)."""
     if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
         def intersect(ro, rd, tmin, tmax):
             return intersect_bruteforce(dscene.prim_verts, ro, rd, tmin, tmax)
@@ -72,6 +73,23 @@ def make_intersect(dscene: DeviceScene, config: SceneConfig):
         def intersect(ro, rd, tmin, tmax):
             return intersect_bvh(dscene.nodes, dscene.prim_verts, ro, rd, tmin, tmax)
     return intersect
+
+
+def build_intersector(dscene: DeviceScene, config: SceneConfig):
+    """Concrete (host-built) intersector for a fixed scene. On TPU, small
+    scenes get the Pallas dense kernel (ops/pallas_intersect.py — ~30x the
+    HBM-bound jnp broadcast path); everything else falls back to
+    make_intersect. Call OUTSIDE jit; the result is safe to close over."""
+    import numpy as np
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and (config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD):
+        if config.n_prims == 0:
+            return make_intersect(dscene, config)
+        from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
+
+        return make_bruteforce_pallas(np.asarray(dscene.prim_verts))
+    return make_intersect(dscene, config)
 
 
 def _vec(mask):
@@ -85,14 +103,17 @@ def trace_wavefront(
     ro,
     rd,
     rng_state,
+    intersect=None,
 ):
     """Trace a batch of rays to completion.
 
     Returns (radiance [N,3], hit [N] bool, albedo [N,3], normal [N,3],
     rng_state) matching trace_path/trace_naive's return contract
-    (src/trace.jl:468, :571)."""
+    (src/trace.jl:468, :571). `intersect` may be a prebuilt intersector
+    (build_intersector) — e.g. the Pallas dense kernel on TPU."""
     n = ro.shape[0]
-    intersect = make_intersect(dscene, config)
+    if intersect is None:
+        intersect = make_intersect(dscene, config)
     is_path = options.sampler == "path"
     counts = config.light_counts
     has_lights = counts.total > 0
@@ -107,6 +128,8 @@ def trace_wavefront(
         isec_u: jnp.ndarray
         isec_v: jnp.ndarray
         isec_t: jnp.ndarray
+        isec_pos: jnp.ndarray
+        isec_gn: jnp.ndarray
         radiance: jnp.ndarray
         weight: jnp.ndarray
         rng: jnp.ndarray
@@ -126,11 +149,13 @@ def trace_wavefront(
     state = S(
         ro=ro,
         rd=rd,
-        isec_hit=h0[0],
-        isec_prim=h0[1],
-        isec_u=h0[2],
-        isec_v=h0[3],
-        isec_t=h0[4],
+        isec_hit=h0.hit,
+        isec_prim=h0.prim,
+        isec_u=h0.u,
+        isec_v=h0.v,
+        isec_t=h0.t,
+        isec_pos=h0.position,
+        isec_gn=h0.gnormal,
         radiance=zeros3,
         weight=jnp.ones((n, 3), jnp.float32),
         rng=rng_state,
@@ -163,7 +188,7 @@ def trace_wavefront(
         alive = alive & s.isec_hit
 
         # ---- volume transmittance (src/trace.jl:306-326)
-        if is_path:
+        if is_path and config.has_volumes:
             in_med = alive & s.has_vol
             rl, rng = rng_mod.rand1f(rng)
             rdist, rng = rng_mod.rand1f(rng)
@@ -182,19 +207,40 @@ def trace_wavefront(
 
         surf = alive & ~in_volume
 
-        # ---- surface evaluation (gathers; src/scene.jl:416-673)
+        # ---- surface evaluation (src/scene.jl:416-673). Position and the
+        # element normal come from the intersector; vertex/flag gathers only
+        # happen when the scene actually carries those attributes.
         prim = jnp.clip(s.isec_prim, 0, dscene.prim_verts.shape[0] - 1)
-        verts, vidx, inst, flags = eval_ops.gather_prim(dscene, prim)
         u, v = s.isec_u, s.isec_v
-        position = eval_ops.eval_position(verts, u, v)
-        texcoord = eval_ops.eval_texcoord(dscene, vidx, flags, u, v)
-        shp_color = eval_ops.eval_color_attr(dscene, vidx, flags, u, v)
+        position = s.isec_pos
+        inst = dscene.prim_instance[prim]
+        need_attrs = (
+            config.has_texcoords or config.has_colors
+            or config.has_vertex_normals or config.has_normal_maps
+        )
+        if need_attrs:
+            vidx = dscene.prim_vidx[prim]
+            flags = dscene.prim_flags[prim]
+        else:
+            vidx = flags = None
+        verts = dscene.prim_verts[prim] if config.has_normal_maps else None
+        if config.has_texcoords:
+            texcoord = eval_ops.eval_texcoord(dscene, vidx, flags, u, v)
+        else:
+            texcoord = jnp.stack([u, v], axis=-1)
+        if config.has_colors:
+            shp_color = eval_ops.eval_color_attr(dscene, vidx, flags, u, v)
+        else:
+            shp_color = jnp.ones(u.shape + (4,), jnp.float32)
         material = eval_ops.eval_material(dscene, inst, texcoord, shp_color)
         mid = dscene.inst_material[inst]
         normal_tex = dscene.materials.normal_tex[mid]
         normal = eval_ops.eval_shading_normal(
-            dscene, verts, vidx, inst, flags, u, v, outgoing,
+            dscene, s.isec_gn, verts, vidx, inst, flags, u, v, outgoing,
             material.type, normal_tex, texcoord,
+            with_normalmap=config.has_normal_maps,
+            with_vertex_normals=config.has_vertex_normals,
+            refractive_present=int(4) in config.present_types,
         )
 
         max_roughness = s.max_roughness
@@ -208,14 +254,18 @@ def trace_wavefront(
             )
 
         # ---- stochastic opacity (src/trace.jl:356-364)
-        r_op, rng = rng_mod.rand1f(rng)
-        op_skip = surf & (material.opacity < 1.0) & (r_op >= material.opacity)
-        op_dead = op_skip & (s.opbounce > 128)
-        alive = alive & ~op_dead
-        op_skip = op_skip & ~op_dead
-        opbounce = jnp.where(op_skip, s.opbounce + 1, s.opbounce)
-        bounce = jnp.where(op_skip, bounce - 1, bounce)
-        surf = surf & ~op_skip
+        if config.has_opacity:
+            r_op, rng = rng_mod.rand1f(rng)
+            op_skip = surf & (material.opacity < 1.0) & (r_op >= material.opacity)
+            op_dead = op_skip & (s.opbounce > 128)
+            alive = alive & ~op_dead
+            op_skip = op_skip & ~op_dead
+            opbounce = jnp.where(op_skip, s.opbounce + 1, s.opbounce)
+            bounce = jnp.where(op_skip, bounce - 1, bounce)
+            surf = surf & ~op_skip
+        else:
+            op_skip = jnp.zeros(n, bool)
+            opbounce = s.opbounce
 
         # ---- first-hit AOVs (src/trace.jl:366-370)
         first = surf & (bounce == 0)
@@ -237,9 +287,12 @@ def trace_wavefront(
             rl_el, rng = rng_mod.rand1f(rng)
             rl_uv, rng = rng_mod.rand2f(rng)
 
+        present = config.present_types
         delta = eval_ops.is_delta(material)
         if is_path:
-            bsdf_dir = dispatch.sample_bsdfcos(material, normal, outgoing, rnl, rn)
+            bsdf_dir = dispatch.sample_bsdfcos(
+                material, normal, outgoing, rnl, rn, present=present
+            )
             if has_lights:
                 light_dir = lights_mod.sample_lights(
                     dscene, dscene.lights, counts, position, rl_pick, rl_el, rl_uv
@@ -247,14 +300,20 @@ def trace_wavefront(
                 nd_incoming = jnp.where(_vec(r_half < 0.5), bsdf_dir, light_dir)
             else:
                 nd_incoming = jnp.where(_vec(r_half < 0.5), bsdf_dir, 0.0)
-            d_incoming = dispatch.sample_delta(material, normal, outgoing, rnl)
+            d_incoming = dispatch.sample_delta(
+                material, normal, outgoing, rnl, present=present
+            )
             incoming = jnp.where(_vec(delta), d_incoming, nd_incoming)
         else:
             # naive: bsdf-importance only; rough-vs-delta on roughness != 0
             # (src/trace.jl:539-556)
             rough = material.roughness != 0.0
-            bsdf_dir = dispatch.sample_bsdfcos(material, normal, outgoing, rnl, rn)
-            d_incoming = dispatch.sample_delta(material, normal, outgoing, rnl)
+            bsdf_dir = dispatch.sample_bsdfcos(
+                material, normal, outgoing, rnl, rn, present=present
+            )
+            d_incoming = dispatch.sample_delta(
+                material, normal, outgoing, rnl, present=present
+            )
             incoming = jnp.where(_vec(rough), bsdf_dir, d_incoming)
             delta = ~rough
 
@@ -268,7 +327,7 @@ def trace_wavefront(
 
         # ---- volume scatter direction (src/trace.jl:424-440)
         vol = alive & in_volume
-        if is_path:
+        if is_path and config.has_volumes:
             vol_position = s.ro + s.rd * dist[..., None]
             phase_dir = dispatch.sample_scattering(s.vol_density, s.vol_aniso, outgoing, rn)
             if has_lights:
@@ -312,37 +371,54 @@ def trace_wavefront(
                 else jnp.zeros(n, jnp.float32)
             )
             # non-delta surface MIS (src/trace.jl:375-397)
-            f_nd = dispatch.eval_bsdfcos(material, normal, outgoing, incoming)
-            pdf_b = dispatch.sample_bsdfcos_pdf(material, normal, outgoing, incoming)
+            f_nd = dispatch.eval_bsdfcos(
+                material, normal, outgoing, incoming, present=present
+            )
+            pdf_b = dispatch.sample_bsdfcos_pdf(
+                material, normal, outgoing, incoming, present=present
+            )
             # pdfs are detached: the sampling measure is not differentiated
             denom_nd = jax.lax.stop_gradient(0.5 * pdf_b + 0.5 * lights_pdf)
             w_nd = f_nd / jnp.maximum(denom_nd, 1e-30)[..., None]
             # delta (src/trace.jl:398-403)
-            f_d = dispatch.eval_delta(material, normal, outgoing, incoming)
+            f_d = dispatch.eval_delta(
+                material, normal, outgoing, incoming, present=present
+            )
             pdf_d = jax.lax.stop_gradient(
-                dispatch.sample_delta_pdf(material, normal, outgoing, incoming)
+                dispatch.sample_delta_pdf(
+                    material, normal, outgoing, incoming, present=present
+                )
             )
             w_d = f_d / jnp.maximum(pdf_d, 1e-30)[..., None]
             w_surf = jnp.where(_vec(delta), w_d, w_nd)
-            # in-volume MIS (src/trace.jl:441-450)
-            f_v = dispatch.eval_scattering(
-                s.vol_scattering, s.vol_density, s.vol_aniso, outgoing, vol_incoming
-            )
-            pdf_v = dispatch.sample_scattering_pdf(
-                s.vol_density, s.vol_aniso, outgoing, vol_incoming
-            )
-            denom_v = jax.lax.stop_gradient(0.5 * pdf_v + 0.5 * lights_pdf)
-            w_vol = f_v / jnp.maximum(denom_v, 1e-30)[..., None]
-            weight = jnp.where(
-                _vec(surf),
-                weight * w_surf,
-                jnp.where(_vec(vol), weight * w_vol, weight),
-            )
+            if config.has_volumes:
+                # in-volume MIS (src/trace.jl:441-450)
+                f_v = dispatch.eval_scattering(
+                    s.vol_scattering, s.vol_density, s.vol_aniso, outgoing, vol_incoming
+                )
+                pdf_v = dispatch.sample_scattering_pdf(
+                    s.vol_density, s.vol_aniso, outgoing, vol_incoming
+                )
+                denom_v = jax.lax.stop_gradient(0.5 * pdf_v + 0.5 * lights_pdf)
+                w_vol = f_v / jnp.maximum(denom_v, 1e-30)[..., None]
+                weight = jnp.where(
+                    _vec(surf),
+                    weight * w_surf,
+                    jnp.where(_vec(vol), weight * w_vol, weight),
+                )
+            else:
+                weight = jnp.where(_vec(surf), weight * w_surf, weight)
         else:
-            f_r = dispatch.eval_bsdfcos(material, normal, outgoing, incoming)
-            pdf_r = dispatch.sample_bsdfcos_pdf(material, normal, outgoing, incoming)
-            f_d = dispatch.eval_delta(material, normal, outgoing, incoming)
-            pdf_d = dispatch.sample_delta_pdf(material, normal, outgoing, incoming)
+            f_r = dispatch.eval_bsdfcos(
+                material, normal, outgoing, incoming, present=present
+            )
+            pdf_r = dispatch.sample_bsdfcos_pdf(
+                material, normal, outgoing, incoming, present=present
+            )
+            f_d = dispatch.eval_delta(material, normal, outgoing, incoming, present=present)
+            pdf_d = dispatch.sample_delta_pdf(
+                material, normal, outgoing, incoming, present=present
+            )
             pdf_r = jax.lax.stop_gradient(pdf_r)
             pdf_d = jax.lax.stop_gradient(pdf_d)
             w_r = f_r / jnp.maximum(pdf_r, 1e-30)[..., None]
@@ -355,7 +431,7 @@ def trace_wavefront(
         vol_density, vol_scattering, vol_aniso, has_vol = (
             s.vol_density, s.vol_scattering, s.vol_aniso, s.has_vol,
         )
-        if is_path:
+        if is_path and config.has_volumes:
             transmitted = (
                 eval_ops.is_volumetric_type(material.type)
                 & (dot(normal, outgoing) * dot(normal, incoming) < 0)
@@ -390,11 +466,13 @@ def trace_wavefront(
         return S(
             ro=new_ro,
             rd=new_rd,
-            isec_hit=nxt[0],
-            isec_prim=nxt[1],
-            isec_u=nxt[2],
-            isec_v=nxt[3],
-            isec_t=nxt[4],
+            isec_hit=nxt.hit,
+            isec_prim=nxt.prim,
+            isec_u=nxt.u,
+            isec_v=nxt.v,
+            isec_t=nxt.t,
+            isec_pos=nxt.position,
+            isec_gn=nxt.gnormal,
             radiance=radiance,
             weight=weight,
             rng=rng,

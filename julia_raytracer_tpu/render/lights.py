@@ -68,6 +68,8 @@ class LightCounts:
 
     n_instance: int
     n_env: int
+    max_inst_elems: int = 1  # largest per-light element count (search depth)
+    max_env_texels: int = 1
 
     @property
     def total(self) -> int:
@@ -166,7 +168,12 @@ def build_lights(flat: FlatScene, order: np.ndarray) -> tuple[DeviceLights, Ligh
         env_cdf_count=jnp.asarray(np.array(env_counts or [0], np.int32)),
         prim_light_area=jnp.asarray(prim_light_area),
     )
-    counts = LightCounts(n_instance=len(inst_areas), n_env=len(env_ids))
+    counts = LightCounts(
+        n_instance=len(inst_areas),
+        n_env=len(env_ids),
+        max_inst_elems=max(inst_counts) if inst_counts else 1,
+        max_env_texels=max(env_counts) if env_counts else 1,
+    )
     return lights, counts
 
 
@@ -175,19 +182,20 @@ def build_lights(flat: FlatScene, order: np.ndarray) -> tuple[DeviceLights, Ligh
 # ---------------------------------------------------------------------------
 
 
-def sample_discrete(cdf_flat, offset, count, r):
+def sample_discrete(cdf_flat, offset, count, r, max_count: int = 1 << 32):
     """Segmented sample_discrete (src/sampling.jl:33-40): pick index in
     [0, count) from the cumsum segment cdf_flat[offset : offset+count].
 
     Fixed-iteration binary search (upper_bound, src/sampling.jl:42-56)
-    so it traces to a static loop on TPU. All args may be batched.
+    so it traces to a static loop on TPU; `max_count` (a static bound on
+    any segment's length) sets the unrolled depth.
     """
     count = jnp.maximum(count, 1)
     total = cdf_flat[offset + count - 1]
     limit = jnp.clip(r * total, 0.0, total - 1e-5)
     lo = jnp.zeros_like(count)
     hi = count
-    for _ in range(32):  # count < 2^32 always
+    for _ in range(max(1, int(max_count - 1).bit_length())):
         mid = (lo + hi) // 2
         go = lo < hi
         v = cdf_flat[jnp.clip(offset + mid, 0, cdf_flat.shape[0] - 1)]
@@ -253,7 +261,9 @@ def sample_lights(scene, lights: DeviceLights, counts: LightCounts, position, rl
         li = jnp.clip(lid, 0, counts.n_instance - 1)
         off = lights.inst_cdf_offset[li]
         cnt = lights.inst_cdf_count[li]
-        elem = sample_discrete(lights.inst_cdf, off, cnt, rel)
+        elem = sample_discrete(
+            lights.inst_cdf, off, cnt, rel, max_count=counts.max_inst_elems
+        )
         prim = lights.inst_prim[jnp.clip(off + elem, 0, lights.inst_prim.shape[0] - 1)]
         verts = scene.prim_verts[prim]  # [N,4,3]
         is_tri = (scene.prim_flags[prim] & FLAG_IS_TRIANGLE_SHAPE) != 0
@@ -270,7 +280,10 @@ def sample_lights(scene, lights: DeviceLights, counts: LightCounts, position, rl
         env_idx = lights.env_id[ei]
         cnt = lights.env_cdf_count[ei]
         off = lights.env_cdf_offset[ei]
-        texel = sample_discrete(lights.env_cdf, off, jnp.maximum(cnt, 1), rel)
+        texel = sample_discrete(
+            lights.env_cdf, off, jnp.maximum(cnt, 1), rel,
+            max_count=counts.max_env_texels,
+        )
         tex_id = jnp.maximum(scene.env_emission_tex[env_idx], 0)
         tex_dir = _env_texel_direction(scene, env_idx, texel, tex_id)
         env_dir = jnp.where((cnt > 0)[..., None], tex_dir, sample_sphere(ruv))
@@ -341,10 +354,8 @@ def sample_lights_pdf(
     pdf = jnp.zeros(position.shape[:-1], jnp.float32)
 
     if counts.n_instance > 0:
-        hit, prim, _, _, t = first_hit
-        verts = scene.prim_verts[jnp.clip(prim, 0, scene.prim_verts.shape[0] - 1)]
-        lnormal = quad_normal(
-            verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :]
+        hit, prim, t, lnormal = (
+            first_hit.hit, first_hit.prim, first_hit.t, first_hit.gnormal,
         )
         t_cum = t
         pdf = pdf + area_light_hit_pdf(lights, prim, t_cum * t_cum, lnormal, direction, hit)
@@ -354,15 +365,11 @@ def sample_lights_pdf(
             origin = position + direction * (t_cum + 1e-3)[..., None]
             tmin = jnp.full_like(t_cum, 1e-4)
             tmax = jnp.where(marching, jnp.float32(3.4028235e38), jnp.float32(1e-4))
-            hit, prim, _, _, t = intersect_fn(origin, direction, tmin, tmax)
-            hit = hit & marching
-            verts = scene.prim_verts[jnp.clip(prim, 0, scene.prim_verts.shape[0] - 1)]
-            lnormal = quad_normal(
-                verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :]
-            )
-            t_cum = jnp.where(hit, t_cum + 1e-3 + t, t_cum)
+            step = intersect_fn(origin, direction, tmin, tmax)
+            hit = step.hit & marching
+            t_cum = jnp.where(hit, t_cum + 1e-3 + step.t, t_cum)
             pdf = pdf + area_light_hit_pdf(
-                lights, prim, t_cum * t_cum, lnormal, direction, hit
+                lights, step.prim, t_cum * t_cum, step.gnormal, direction, hit
             )
             marching = hit
 

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from julia_raytracer_tpu.ops.camera import CameraArrays, sample_camera
-from julia_raytracer_tpu.render.integrator import TraceOptions, trace_wavefront
+from julia_raytracer_tpu.render.integrator import (
+    TraceOptions, build_intersector, trace_wavefront,
+)
 from julia_raytracer_tpu.render.scene_device import build_device_scene
 from julia_raytracer_tpu.scene.loader import find_camera
 from julia_raytracer_tpu.utils import rng as rng_mod
@@ -156,6 +158,7 @@ class Renderer:
             nocaustics=params.nocaustics,
             light_pdf_extra_steps=params.light_pdf_extra_steps,
         )
+        self.intersect = build_intersector(self.dscene, self.config)
         self._kernel_cache = {}
 
     # -- per-sample kernel ------------------------------------------------
@@ -185,7 +188,7 @@ class Renderer:
                 cam, ij, (width, height), puv, luv, params.tentfilter
             )
             radiance, hit, albedo_s, normal_s, rng = trace_wavefront(
-                dscene, config, options, ro, rd, rng
+                dscene, config, options, ro, rd, rng, intersect=self.intersect
             )
 
             # NaN scrub + radiance rescale clamp (src/trace.jl:625-630)

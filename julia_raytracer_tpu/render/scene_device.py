@@ -75,7 +75,13 @@ class DeviceScene(NamedTuple):
 
 
 class SceneConfig(NamedTuple):
-    """Static (compile-time) facts about the scene."""
+    """Static (compile-time) facts about the scene.
+
+    The feature flags drive scene-specialized compilation: the integrator
+    statically drops material lobes, texture paths, normal mapping,
+    opacity, and volume machinery the scene cannot exercise — the
+    TPU-first replacement for the reference's per-ray dynamic dispatch
+    (a cornellbox kernel compiles to matte-only straight-line VPU code)."""
 
     n_prims: int
     root_is_leaf: bool
@@ -83,6 +89,12 @@ class SceneConfig(NamedTuple):
     light_counts: LightCounts
     has_normal_maps: bool
     has_opacity: bool
+    present_types: tuple = tuple(range(8))  # sorted MaterialType ints present
+    has_textures: bool = True
+    has_vertex_normals: bool = True
+    has_texcoords: bool = True
+    has_colors: bool = True
+    has_volumes: bool = True
 
 
 def build_device_scene(
@@ -146,12 +158,30 @@ def build_device_scene(
         env_emission_tex=jnp.asarray(e.emission_tex),
         lights=lights,
     )
+    from julia_raytracer_tpu.scene.flatten import (
+        FLAG_HAS_COLORS,
+        FLAG_HAS_NORMALS,
+        FLAG_HAS_TEXCOORDS,
+    )
+
+    flags_union = int(np.bitwise_or.reduce(g.prim_flags)) if len(g.prim_flags) else 0
+    # opacity can also come from a color texture's alpha channel
+    any_tex_alpha = bool((t.data[:, 3] < 1.0).any()) if len(t.data) else False
+    present = tuple(sorted(set(int(x) for x in m.type))) if len(m.type) else ()
     config = SceneConfig(
         n_prims=tree.n_prims,
         root_is_leaf=tree.root_is_leaf,
         n_envs=len(e.emission),
         light_counts=light_counts,
         has_normal_maps=bool((m.normal_tex >= 0).any()) if len(m.normal_tex) else False,
-        has_opacity=bool((m.opacity < 1.0).any()) if len(m.opacity) else False,
+        has_opacity=(
+            bool((m.opacity < 1.0).any()) if len(m.opacity) else False
+        ) or any_tex_alpha,
+        present_types=present,
+        has_textures=len(t.data) > 0,
+        has_vertex_normals=bool(flags_union & FLAG_HAS_NORMALS),
+        has_texcoords=bool(flags_union & FLAG_HAS_TEXCOORDS),
+        has_colors=bool(flags_union & FLAG_HAS_COLORS),
+        has_volumes=bool(set(present) & {4, 5, 6}),  # refractive/subsurface/volumetric
     )
     return dscene, config

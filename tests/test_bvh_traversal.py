@@ -45,10 +45,10 @@ def test_bvh_vs_bruteforce_random(rng):
     tmin = jnp.full(256, RAY_EPS)
     tmax = jnp.full(256, 3.4e38)
 
-    bh, bp, bu, bv, bt = intersect_bruteforce(jnp.asarray(sorted_prims), ro, rd, tmin, tmax)
+    bh, bp, bu, bv, bt = intersect_bruteforce(jnp.asarray(sorted_prims), ro, rd, tmin, tmax)[:5]
     th, tp, tu, tv, tt = intersect_bvh(
         jnp.asarray(tree.nodes), jnp.asarray(sorted_prims), ro, rd, tmin, tmax
-    )
+    )[:5]
     np.testing.assert_array_equal(np.asarray(bh), np.asarray(th))
     hits = np.asarray(bh)
     assert hits.sum() > 50  # sanity: the soup is dense enough to hit
@@ -80,13 +80,13 @@ def test_bvh_cornellbox_scene(cornellbox):
 
     bh, bp, bu, bv, bt = intersect_bruteforce(
         jnp.asarray(sorted_prims), jnp.asarray(ro), jnp.asarray(rd), tmin, tmax
-    )
+    )[:5]
     if tree.root_is_leaf:
         return  # tiny scene: brute force is the production path anyway
     th, tp, tu, tv, tt = intersect_bvh(
         jnp.asarray(tree.nodes), jnp.asarray(sorted_prims),
         jnp.asarray(ro), jnp.asarray(rd), tmin, tmax,
-    )
+    )[:5]
     np.testing.assert_array_equal(np.asarray(bh), np.asarray(th))
     hits = np.asarray(bh)
     assert hits.mean() > 0.9  # narrow fan into the box: nearly all hit
@@ -113,10 +113,10 @@ def test_bvh_large_instanced(scenes_dir):
     tmin = jnp.full(n, RAY_EPS)
     tmax = jnp.full(n, 3.4e38)
 
-    bh, bp, _, _, bt = intersect_bruteforce(sorted_prims, ro, rd, tmin, tmax)
+    bh, bp, _, _, bt = intersect_bruteforce(sorted_prims, ro, rd, tmin, tmax)[:5]
     th, tp, _, _, tt = intersect_bvh(
         jnp.asarray(tree.nodes), sorted_prims, ro, rd, tmin, tmax
-    )
+    )[:5]
     np.testing.assert_array_equal(np.asarray(bh), np.asarray(th))
     hits = np.asarray(bh)
     np.testing.assert_allclose(np.asarray(bt)[hits], np.asarray(tt)[hits], rtol=1e-5)
