@@ -1,0 +1,339 @@
+"""Pallas TPU kernel: cluster-culled scene intersection for mid-size scenes.
+
+The reference's per-ray BVH walk (src/bvh.jl:306-491) maps terribly to a
+SIMD machine: a lockstep jnp port spends its time in per-lane node
+gathers. This kernel replaces pointer chasing with the structure TPUs
+like: Morton-ordered primitives are grouped into fixed-size clusters
+(P=64 prims = 128 triangles); each 1024-ray block slab-tests every
+cluster bbox at once (pairwise [C, 128] VPU work per sublane row),
+reduces to a per-cluster "any ray wants it" mask, and then — only for
+surviving clusters, under a predicated branch — intersects all 128
+triangles against the block's rays.
+
+The triangle test uses the unit-triangle affine form: each triangle
+carries a 3x4 transform A mapping world space to (u, v, w) barycentric
+space, so o' = A·[o,1], d' = A·[d,0] become [4,128] x [4,128] MXU
+matmuls per sublane row and the hit test collapses to ~15 elementwise
+ops on [128, 128]:
+    t = -o'_z / d'_z,  u = o'_x + t d'_x,  v = o'_y + t d'_y.
+Quad semantics match intersect_quad (src/geometry.jl:238-258): prim i
+yields triangles (p1,p2,p4) and (p3,p4,p2), the second with flipped uv;
+degenerate/padding triangles get transforms that can never hit.
+
+All tables live in VMEM, so this path covers scenes up to ~150k prims
+(transforms [C,12,128] + normals [C,4,128] ~ 8 KB/cluster); larger
+scenes fall back to the gather BVH until the hierarchical (two-level)
+variant lands.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from julia_raytracer_tpu.ops.traversal import Hit
+
+PRIMS_PER_CLUSTER = 64  # -> 128 triangles per cluster
+TRIS = 2 * PRIMS_PER_CLUSTER
+ROWS = 8
+LANES = 128
+BLOCK_RAYS = ROWS * LANES  # 1024
+MAX_VMEM_PRIMS = 150_000  # above this the tables outgrow VMEM
+
+
+def _tri_transform(a, b, c):
+    """3x4 affine world->barycentric transform rows, or None if degenerate."""
+    e1 = b - a
+    e2 = c - a
+    n = np.cross(e1, e2)
+    det = np.dot(n, n)
+    if det == 0.0 or not np.isfinite(det):
+        return None
+    try:
+        m = np.linalg.inv(np.stack([e1, e2, n], axis=1))  # columns e1,e2,n
+    except np.linalg.LinAlgError:
+        return None
+    # w row: UNIT normal (signed plane distance) instead of inv's third
+    # row — mathematically the same zero set, but conditions t = -o'_w/d'_w
+    # properly for small/thin triangles in f32
+    nhat = n / np.sqrt(det)
+    # layout matches the kernel's row reads: rows 0-2 m_u, 3-5 m_v,
+    # 6-8 m_w, 9-11 translation (t_u, t_v, t_w)
+    out = np.empty(12, np.float64)
+    out[0:3] = m[0]
+    out[3:6] = m[1]
+    out[6:9] = nhat
+    out[9] = -np.dot(m[0], a)
+    out[10] = -np.dot(m[1], a)
+    out[11] = -np.dot(nhat, a)
+    return out
+
+
+_NEVER_HIT = np.array(
+    [0, 0, 0,  0, 0, 0,  0, 0, 0,  0, 0, 1], np.float64
+)  # d'_z = 0, o'_z = 1 -> no hit
+
+
+def build_cluster_tables(prim_verts: np.ndarray):
+    """prim_verts [Q,4,3] (Morton/BVH order) -> (tfm [C,12,128],
+    nrm [C,4,128], bbox [C,8], n_clusters). Padding prims never hit."""
+    q = len(prim_verts)
+    c = max(1, -(-q // PRIMS_PER_CLUSTER))
+    qp = c * PRIMS_PER_CLUSTER
+
+    pv = np.zeros((qp, 4, 3), np.float64)
+    pv[:q] = prim_verts
+
+    tfm = np.tile(_NEVER_HIT, (c, TRIS, 1))  # [C, 128tris, 12]
+    nrm = np.zeros((c, TRIS, 3), np.float64)
+    for i in range(qp):
+        p1, p2, p3, p4 = pv[i]
+        ci, li = divmod(i, PRIMS_PER_CLUSTER)
+        t0 = _tri_transform(p1, p2, p4)
+        if t0 is not None:
+            tfm[ci, 2 * li] = t0
+        t1 = _tri_transform(p3, p4, p2)
+        if t1 is not None:
+            tfm[ci, 2 * li + 1] = t1
+
+        def tn(a_, b_, c_):
+            nn = np.cross(b_ - a_, c_ - a_)
+            l = np.linalg.norm(nn)
+            return nn / l if l > 0 else nn
+
+        en = tn(p1, p2, p4) + tn(p3, p4, p2)
+        l = np.linalg.norm(en)
+        if l > 0:
+            en = en / l
+        nrm[ci, 2 * li] = en
+        nrm[ci, 2 * li + 1] = en
+
+    bbox = np.zeros((c, 8), np.float32)
+    for ci in range(c):
+        lo = ci * PRIMS_PER_CLUSTER
+        hi = min((ci + 1) * PRIMS_PER_CLUSTER, q)
+        if hi <= lo:
+            bbox[ci, 0:3] = 1.0  # inverted box: never hit
+            bbox[ci, 3:6] = -1.0
+            continue
+        pts = prim_verts[lo:hi].reshape(-1, 3)
+        bbox[ci, 0:3] = pts.min(axis=0)
+        bbox[ci, 3:6] = pts.max(axis=0)
+
+    tfm = np.swapaxes(tfm, 1, 2).astype(np.float32)  # [C, 12, 128]
+    nrm4 = np.zeros((c, 4, TRIS), np.float32)
+    nrm4[:, :3] = np.swapaxes(nrm, 1, 2)
+    return tfm, nrm4, bbox, c
+
+
+def _make_kernel(n_clusters: int, q: int):
+    C = n_clusters
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tmin_ref, tmax_ref, bbox_ref, tfm_ref, nrm_ref,
+               prim_ref, u_ref, v_ref, t_ref, px_ref, py_ref, pz_ref,
+               nx_ref, ny_ref, nz_ref,
+               mask_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # [8, 128]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tmin, tmax = tmin_ref[:], tmax_ref[:]
+
+        inv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
+        idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
+
+        # ---- phase A: cluster-bbox cull, one sublane row at a time
+        bm = bbox_ref[:]  # [C, 8]
+        bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
+        bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
+
+        mask = jnp.zeros((C, 1), jnp.int32)
+        for r in range(ROWS):
+            enter = None
+            exit_ = None
+            for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
+                t0 = (bmin[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                t1 = (bmax[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                lo = jnp.minimum(t0, t1)
+                hi = jnp.maximum(t0, t1)
+                enter = lo if enter is None else jnp.maximum(enter, lo)
+                exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
+            enter = jnp.maximum(enter, tmin[r:r + 1, :])
+            exit_ = jnp.minimum(exit_, tmax[r:r + 1, :])
+            row_hit = enter <= exit_ * jnp.float32(1.00000024)  # [C, 128]
+            mask = mask | jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32)
+        mask_ref[:, :] = mask
+
+        # ---- phase B: per-cluster triangle sweep
+        tri_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, LANES), 0)
+
+        def cluster_body(c, carry):
+            def process(carry):
+                best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz = carry
+                T = tfm_ref[c]  # [12, 128]
+                nrm = nrm_ref[c]  # [4, 128]
+                A = [
+                    jnp.concatenate(
+                        [T[3 * r_: 3 * r_ + 3, :], T[9 + r_: 10 + r_, :]], axis=0
+                    )
+                    for r_ in range(3)
+                ]  # 3 x [4, 128] (m_r0, m_r1, m_r2, t_r)
+
+                for r in range(ROWS):
+                    o_h = jnp.concatenate(
+                        [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
+                         jnp.ones((1, LANES), jnp.float32)], axis=0,
+                    )  # [4, 128rays]
+                    d_h = jnp.concatenate(
+                        [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
+                         jnp.zeros((1, LANES), jnp.float32)], axis=0,
+                    )
+                    # precision=HIGHEST: default TPU f32 matmul runs as a
+                    # single bf16 pass (~0.4% error) — ray transforms need
+                    # the full-precision decomposition
+                    dot = lambda a_, b_: jax.lax.dot_general(
+                        a_, b_, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [128tri, 128ray]
+                    opx, opy, opz = dot(A[0], o_h), dot(A[1], o_h), dot(A[2], o_h)
+                    dpx, dpy, dpz = dot(A[0], d_h), dot(A[1], d_h), dot(A[2], d_h)
+
+                    bt_row = best_t[r:r + 1, :]
+                    tt = -opz / jnp.where(dpz == 0.0, 1e-30, dpz)
+                    uu = opx + tt * dpx
+                    vv = opy + tt * dpy
+                    hit = (
+                        (dpz != 0.0)
+                        & (uu >= 0.0) & (uu <= 1.0)
+                        & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt >= tmin[r:r + 1, :]) & (tt < bt_row)
+                    )
+                    tt = jnp.where(hit, tt, 3.4028235e38)
+                    min_t = jnp.min(tt, axis=0, keepdims=True)  # [1, 128]
+                    arg = jnp.argmin(tt, axis=0)[None, :]  # first-min
+                    upd = min_t < bt_row
+                    onehot = (tri_ids == arg).astype(jnp.float32)
+                    sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
+                    u_sel = sel(uu)
+                    v_sel = sel(vv)
+                    # selected normal per ray: [1,128tri] x [128tri,128ray]
+                    ndot = lambda k: jax.lax.dot_general(
+                        nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    nx_sel = ndot(0)
+                    ny_sel = ndot(1)
+                    nz_sel = ndot(2)
+
+                    odd = (arg % 2) == 1
+                    u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
+                    v_sel = jnp.where(odd, 1.0 - v_sel, v_sel)
+
+                    rowsel = (
+                        jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) == r
+                    )
+                    write = rowsel & upd  # [8,128] via broadcast of [1,128]
+
+                    def put(dst, row_val):
+                        return jnp.where(write, row_val, dst)
+
+                    best_u = put(best_u, u_sel)
+                    best_v = put(best_v, v_sel)
+                    best_nx = put(best_nx, nx_sel)
+                    best_ny = put(best_ny, ny_sel)
+                    best_nz = put(best_nz, nz_sel)
+                    best_tri = put(best_tri, c * TRIS + arg)
+                    best_t = put(best_t, min_t)
+                return best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz
+
+            return jax.lax.cond(mask_ref[c, 0] != 0, process, lambda cr: cr, carry)
+
+        carry = (
+            tmax,
+            jnp.full((ROWS, LANES), -1, jnp.int32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
+        )
+        carry = jax.lax.fori_loop(0, C, cluster_body, carry)
+        best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz = carry
+
+        prim = jnp.where(best_tri >= 0, best_tri // 2, -1)
+        prim = jnp.where(prim >= q, -1, prim)
+        hit = prim >= 0
+        t_out = jnp.where(hit, best_t, tmax)
+        prim_ref[:, :] = prim
+        u_ref[:, :] = best_u
+        v_ref[:, :] = best_v
+        t_ref[:, :] = t_out
+        px_ref[:, :] = ox + t_out * dx
+        py_ref[:, :] = oy + t_out * dy
+        pz_ref[:, :] = oz + t_out * dz
+        nx_ref[:, :] = best_nx
+        ny_ref[:, :] = best_ny
+        nz_ref[:, :] = best_nz
+
+    return kernel
+
+
+def make_cluster_intersect(prim_verts_np: np.ndarray):
+    """Build intersect(ro, rd, tmin, tmax) -> Hit backed by the cluster
+    kernel. Tables are device-resident (VMEM) per scene."""
+    q = len(prim_verts_np)
+    tfm, nrm, bbox, n_clusters = build_cluster_tables(
+        np.asarray(prim_verts_np, np.float64)
+    )
+    tfm_d = jnp.asarray(tfm)
+    nrm_d = jnp.asarray(nrm)
+    bbox_d = jnp.asarray(bbox)
+    kernel = _make_kernel(n_clusters, q)
+
+    vec_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    @jax.jit
+    def intersect(ro, rd, tmin, tmax):
+        n = ro.shape[0]
+        n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+        pad = n_pad - n
+
+        def prep(x):
+            return jnp.pad(x, ((0, pad),)).reshape(-1, LANES)
+
+        args = [
+            prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+            prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+            prep(tmin), prep(tmax),
+        ]
+        nblocks = args[0].shape[0] // ROWS
+        shape_f = jax.ShapeDtypeStruct(args[0].shape, jnp.float32)
+        shape_i = jax.ShapeDtypeStruct(args[0].shape, jnp.int32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=[vec_spec] * 8 + [
+                full(bbox.shape), full(tfm.shape), full(nrm.shape)
+            ],
+            out_specs=[vec_spec] * 10,
+            out_shape=[shape_i] + [shape_f] * 9,
+            scratch_shapes=[pltpu.VMEM((n_clusters, 1), jnp.int32)],
+        )(*args, bbox_d, tfm_d, nrm_d)
+
+        unpack = lambda x: x.reshape(-1)[:n]
+        prim, u, v, t = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]), unpack(outs[3]))
+        pos = jnp.stack([unpack(outs[4]), unpack(outs[5]), unpack(outs[6])], axis=-1)
+        gn = jnp.stack([unpack(outs[7]), unpack(outs[8]), unpack(outs[9])], axis=-1)
+        hit = prim >= 0
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn)
+
+    return intersect

@@ -76,19 +76,25 @@ def make_intersect(dscene: DeviceScene, config: SceneConfig):
 
 
 def build_intersector(dscene: DeviceScene, config: SceneConfig):
-    """Concrete (host-built) intersector for a fixed scene. On TPU, small
-    scenes get the Pallas dense kernel (ops/pallas_intersect.py — ~30x the
-    HBM-bound jnp broadcast path); everything else falls back to
-    make_intersect. Call OUTSIDE jit; the result is safe to close over."""
+    """Concrete (host-built) intersector for a fixed scene. On TPU:
+    tiny scenes get the Pallas dense kernel (ops/pallas_intersect.py),
+    mid-size scenes the cluster-culled Pallas kernel
+    (ops/pallas_cluster.py, ~30x the gather BVH); everything else falls
+    back to make_intersect. Call OUTSIDE jit; safe to close over."""
     import numpy as np
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and (config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD):
-        if config.n_prims == 0:
-            return make_intersect(dscene, config)
-        from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
+    if on_tpu and config.n_prims > 0:
+        if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
+            from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
 
-        return make_bruteforce_pallas(np.asarray(dscene.prim_verts))
+            return make_bruteforce_pallas(np.asarray(dscene.prim_verts))
+        from julia_raytracer_tpu.ops.pallas_cluster import (
+            MAX_VMEM_PRIMS, make_cluster_intersect,
+        )
+
+        if config.n_prims <= MAX_VMEM_PRIMS:
+            return make_cluster_intersect(np.asarray(dscene.prim_verts))
     return make_intersect(dscene, config)
 
 

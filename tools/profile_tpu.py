@@ -73,13 +73,19 @@ def main():
         from julia_raytracer_tpu.render import dispatch
 
         inst = dscene.prim_instance[prim]
-        texcoord = jnp.stack([u, v], axis=-1)
+        vidx = dscene.prim_vidx[prim]
+        flags = dscene.prim_flags[prim]
+        if cfg.has_texcoords:
+            texcoord = eval_ops.eval_texcoord(dscene, vidx, flags, u, v)
+        else:
+            texcoord = jnp.stack([u, v], axis=-1)
         shp_color = jnp.ones(u.shape + (4,), jnp.float32)
         material = eval_ops.eval_material(dscene, inst, texcoord, shp_color)
         mid = dscene.inst_material[inst]
         ntex = dscene.materials.normal_tex[mid]
         normal = eval_ops.eval_shading_normal(
-            dscene, gn, None, None, inst, None, u, v, -rd, material.type, ntex,
+            dscene, gn, dscene.prim_verts[prim], vidx, inst, flags, u, v, -rd,
+            material.type, ntex,
             texcoord, with_normalmap=cfg.has_normal_maps,
             with_vertex_normals=cfg.has_vertex_normals,
             refractive_present=4 in cfg.present_types,
