@@ -44,84 +44,83 @@ BLOCK_RAYS = ROWS * LANES  # 1024
 MAX_VMEM_PRIMS = 150_000  # above this the tables outgrow VMEM
 
 
-def _tri_transform(a, b, c):
-    """3x4 affine world->barycentric transform rows, or None if degenerate."""
+def _tri_transforms_batch(a, b, c):
+    """Batched 3x4 affine world->barycentric transforms.
+
+    a/b/c: [T, 3] f64 triangle corners -> [T, 12] rows
+    (m_u 3, m_v 3, n_hat 3, t_u t_v t_w). Degenerate rows become the
+    never-hit transform (d'_w = 0, o'_w = 1).
+
+    The w row uses the UNIT normal (signed plane distance) instead of the
+    inverse's third row — the same zero set, but it conditions
+    t = -o'_w/d'_w properly for small/thin triangles in f32."""
+    t_count = len(a)
     e1 = b - a
     e2 = c - a
     n = np.cross(e1, e2)
-    det = np.dot(n, n)
-    if det == 0.0 or not np.isfinite(det):
-        return None
-    try:
-        m = np.linalg.inv(np.stack([e1, e2, n], axis=1))  # columns e1,e2,n
-    except np.linalg.LinAlgError:
-        return None
-    # w row: UNIT normal (signed plane distance) instead of inv's third
-    # row — mathematically the same zero set, but conditions t = -o'_w/d'_w
-    # properly for small/thin triangles in f32
-    nhat = n / np.sqrt(det)
-    # layout matches the kernel's row reads: rows 0-2 m_u, 3-5 m_v,
-    # 6-8 m_w, 9-11 translation (t_u, t_v, t_w)
-    out = np.empty(12, np.float64)
-    out[0:3] = m[0]
-    out[3:6] = m[1]
-    out[6:9] = nhat
-    out[9] = -np.dot(m[0], a)
-    out[10] = -np.dot(m[1], a)
-    out[11] = -np.dot(nhat, a)
-    return out
+    det = np.einsum("ij,ij->i", n, n)
+    ok = (det > 0) & np.isfinite(det)
+    safe_det = np.where(ok, det, 1.0)
+    nhat = n / np.sqrt(safe_det)[:, None]
 
+    # inverse of E = [e1 | e2 | n] via adjugate: rows of E^-1 are
+    # (e2 x n, n x e1, e1 x e2) / det(E); det(E) = n.(e1 x e2) = |n|^2
+    m0 = np.cross(e2, n) / safe_det[:, None]
+    m1 = np.cross(n, e1) / safe_det[:, None]
 
-_NEVER_HIT = np.array(
-    [0, 0, 0,  0, 0, 0,  0, 0, 0,  0, 0, 1], np.float64
-)  # d'_z = 0, o'_z = 1 -> no hit
+    out = np.zeros((t_count, 12))
+    out[:, 0:3] = m0
+    out[:, 3:6] = m1
+    out[:, 6:9] = nhat
+    out[:, 9] = -np.einsum("ij,ij->i", m0, a)
+    out[:, 10] = -np.einsum("ij,ij->i", m1, a)
+    out[:, 11] = -np.einsum("ij,ij->i", nhat, a)
+    never = np.zeros(12)
+    never[11] = 1.0
+    out[~ok] = never
+    return out, ok
 
 
 def build_cluster_tables(prim_verts: np.ndarray):
     """prim_verts [Q,4,3] (Morton/BVH order) -> (tfm [C,12,128],
-    nrm [C,4,128], bbox [C,8], n_clusters). Padding prims never hit."""
+    nrm [C,4,128], bbox [C,8], n_clusters). Fully vectorized (builds
+    million-prim tables in seconds); padding prims never hit."""
     q = len(prim_verts)
     c = max(1, -(-q // PRIMS_PER_CLUSTER))
     qp = c * PRIMS_PER_CLUSTER
 
-    pv = np.zeros((qp, 4, 3), np.float64)
+    pv = np.zeros((qp, 4, 3))
     pv[:q] = prim_verts
+    p1, p2, p3, p4 = pv[:, 0], pv[:, 1], pv[:, 2], pv[:, 3]
 
-    tfm = np.tile(_NEVER_HIT, (c, TRIS, 1))  # [C, 128tris, 12]
-    nrm = np.zeros((c, TRIS, 3), np.float64)
-    for i in range(qp):
-        p1, p2, p3, p4 = pv[i]
-        ci, li = divmod(i, PRIMS_PER_CLUSTER)
-        t0 = _tri_transform(p1, p2, p4)
-        if t0 is not None:
-            tfm[ci, 2 * li] = t0
-        t1 = _tri_transform(p3, p4, p2)
-        if t1 is not None:
-            tfm[ci, 2 * li + 1] = t1
+    tf0, _ = _tri_transforms_batch(p1, p2, p4)
+    tf1, _ = _tri_transforms_batch(p3, p4, p2)
+    tfm = np.empty((qp, 2, 12))
+    tfm[:, 0] = tf0
+    tfm[:, 1] = tf1
+    tfm = tfm.reshape(c, TRIS, 12)
 
-        def tn(a_, b_, c_):
-            nn = np.cross(b_ - a_, c_ - a_)
-            l = np.linalg.norm(nn)
-            return nn / l if l > 0 else nn
+    def tn(a_, b_, c_):
+        nn = np.cross(b_ - a_, c_ - a_)
+        l = np.linalg.norm(nn, axis=1, keepdims=True)
+        return nn / np.where(l > 0, l, 1.0)
 
-        en = tn(p1, p2, p4) + tn(p3, p4, p2)
-        l = np.linalg.norm(en)
-        if l > 0:
-            en = en / l
-        nrm[ci, 2 * li] = en
-        nrm[ci, 2 * li + 1] = en
+    en = tn(p1, p2, p4) + tn(p3, p4, p2)
+    l = np.linalg.norm(en, axis=1, keepdims=True)
+    en = en / np.where(l > 0, l, 1.0)
+    nrm = np.repeat(en, 2, axis=0).reshape(c, TRIS, 3)
 
+    # per-cluster bboxes over REAL prims (padding excluded via +-inf)
+    ppad = pv.reshape(qp, 4, 3).copy()
+    ppad[q:] = np.inf
     bbox = np.zeros((c, 8), np.float32)
-    for ci in range(c):
-        lo = ci * PRIMS_PER_CLUSTER
-        hi = min((ci + 1) * PRIMS_PER_CLUSTER, q)
-        if hi <= lo:
-            bbox[ci, 0:3] = 1.0  # inverted box: never hit
-            bbox[ci, 3:6] = -1.0
-            continue
-        pts = prim_verts[lo:hi].reshape(-1, 3)
-        bbox[ci, 0:3] = pts.min(axis=0)
-        bbox[ci, 3:6] = pts.max(axis=0)
+    bbox[:, 0:3] = np.nan_to_num(
+        ppad.reshape(c, -1, 3).min(axis=1), posinf=1.0
+    )
+    ppad[q:] = -np.inf
+    bbox[:, 3:6] = np.nan_to_num(
+        ppad.reshape(c, -1, 3).max(axis=1), neginf=-1.0
+    )
 
     tfm = np.swapaxes(tfm, 1, 2).astype(np.float32)  # [C, 12, 128]
     nrm4 = np.zeros((c, 4, TRIS), np.float32)
@@ -282,7 +281,7 @@ def _make_kernel(n_clusters: int, q: int):
     return kernel
 
 
-def make_cluster_intersect(prim_verts_np: np.ndarray):
+def make_cluster_intersect(prim_verts_np: np.ndarray, interpret: bool = False):
     """Build intersect(ro, rd, tmin, tmax) -> Hit backed by the cluster
     kernel. Tables are device-resident (VMEM) per scene."""
     q = len(prim_verts_np)
@@ -327,7 +326,289 @@ def make_cluster_intersect(prim_verts_np: np.ndarray):
             out_specs=[vec_spec] * 10,
             out_shape=[shape_i] + [shape_f] * 9,
             scratch_shapes=[pltpu.VMEM((n_clusters, 1), jnp.int32)],
+            interpret=interpret,
         )(*args, bbox_d, tfm_d, nrm_d)
+
+        unpack = lambda x: x.reshape(-1)[:n]
+        prim, u, v, t = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]), unpack(outs[3]))
+        pos = jnp.stack([unpack(outs[4]), unpack(outs[5]), unpack(outs[6])], axis=-1)
+        gn = jnp.stack([unpack(outs[7]), unpack(outs[8]), unpack(outs[9])], axis=-1)
+        hit = prim >= 0
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn)
+
+    return intersect
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming hierarchical variant (large scenes: kitchen/bathroom/ecosys)
+# ---------------------------------------------------------------------------
+
+SUPER = 64  # clusters per supercluster
+
+
+def build_super_bbox(bbox: np.ndarray) -> np.ndarray:
+    """Cluster bboxes [C,8] -> supercluster bboxes [S,8] over groups of 64."""
+    c = len(bbox)
+    s = -(-c // SUPER)
+    pad = s * SUPER - c
+    bb = np.concatenate([bbox, np.tile(bbox[-1:], (pad, 1))], axis=0) if pad else bbox
+    bb = bb.reshape(s, SUPER, 8)
+    out = np.zeros((s, 8), np.float32)
+    out[:, 0:3] = bb[:, :, 0:3].min(axis=1)
+    out[:, 3:6] = bb[:, :, 3:6].max(axis=1)
+    return out
+
+
+def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
+    """Large-scene kernel: grid = (ray_blocks, superclusters). The Pallas
+    pipeline streams one supercluster's tables ([64,12,128] ~ 400 KB) per
+    grid step from HBM — automatic double-buffered DMA (manual
+    make_async_copy from HBM faults through the axon tunnel). Outputs are
+    revisited across the supercluster axis; best-hit state lives in VMEM
+    scratch, which persists across sequential grid steps. Compute (not the
+    stream) is skipped for culled superclusters via pl.when."""
+    S, C = n_super, n_clusters
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tmin_ref, tmax_ref, bbox_ref, sbbox_ref, tfm_ref, nrm_ref,
+               prim_ref, u_ref, v_ref, t_ref, px_ref, py_ref, pz_ref,
+               nx_ref, ny_ref, nz_ref,
+               cmask_ref, smask_ref,
+               bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref):
+        s_id = pl.program_id(1)
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # [8, 128]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tmin, tmax = tmin_ref[:], tmax_ref[:]
+
+        inv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
+        idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
+
+        def cull(bm):
+            K = bm.shape[0]
+            bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
+            bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
+            mask = jnp.zeros((K, 1), jnp.int32)
+            for r in range(ROWS):
+                enter = None
+                exit_ = None
+                for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
+                    t0 = (bmin[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                    t1 = (bmax[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                    lo = jnp.minimum(t0, t1)
+                    hi = jnp.maximum(t0, t1)
+                    enter = lo if enter is None else jnp.maximum(enter, lo)
+                    exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
+                enter = jnp.maximum(enter, tmin[r:r + 1, :])
+                exit_ = jnp.minimum(exit_, tmax[r:r + 1, :])
+                row_hit = enter <= exit_ * jnp.float32(1.00000024)
+                mask = mask | jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32)
+            return mask
+
+        # first supercluster step for this ray block: cull + init state
+        @pl.when(s_id == 0)
+        def _():
+            smask_ref[:, :] = cull(sbbox_ref[:])
+
+            bt_ref[:, :] = tmax
+            btri_ref[:, :] = jnp.full((ROWS, LANES), -1, jnp.int32)
+            bu_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bv_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bnx_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bny_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bnz_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+
+        tri_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, LANES), 0)
+
+        def process_cluster(ci):
+            """Intersect cluster (s_id*SUPER + ci) from the streamed block."""
+            T = tfm_ref[ci]  # [12, 128]
+            nrm = nrm_ref[ci]  # [4, 128]
+            A = [
+                jnp.concatenate(
+                    [T[3 * r_: 3 * r_ + 3, :], T[9 + r_: 10 + r_, :]], axis=0
+                )
+                for r_ in range(3)
+            ]
+            for r in range(ROWS):
+                o_h = jnp.concatenate(
+                    [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
+                     jnp.ones((1, LANES), jnp.float32)], axis=0,
+                )
+                d_h = jnp.concatenate(
+                    [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
+                     jnp.zeros((1, LANES), jnp.float32)], axis=0,
+                )
+                dot = lambda a_, b_: jax.lax.dot_general(
+                    a_, b_, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                opx, opy, opz = dot(A[0], o_h), dot(A[1], o_h), dot(A[2], o_h)
+                dpx, dpy, dpz = dot(A[0], d_h), dot(A[1], d_h), dot(A[2], d_h)
+
+                bt_row = bt_ref[r:r + 1, :]
+                tt = -opz / jnp.where(dpz == 0.0, 1e-30, dpz)
+                uu = opx + tt * dpx
+                vv = opy + tt * dpy
+                hit = (
+                    (dpz != 0.0)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt >= tmin[r:r + 1, :]) & (tt < bt_row)
+                )
+                tt = jnp.where(hit, tt, 3.4028235e38)
+                min_t = jnp.min(tt, axis=0, keepdims=True)
+                arg = jnp.argmin(tt, axis=0)[None, :]
+                upd = min_t < bt_row
+                onehot = (tri_ids == arg).astype(jnp.float32)
+                sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
+                u_sel = sel(uu)
+                v_sel = sel(vv)
+                ndot = lambda k: jax.lax.dot_general(
+                    nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                nx_sel = ndot(0)
+                ny_sel = ndot(1)
+                nz_sel = ndot(2)
+
+                odd = (arg % 2) == 1
+                u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
+                v_sel = jnp.where(odd, 1.0 - v_sel, v_sel)
+
+                rsel = pl.ds(r, 1)
+                bu_ref[rsel, :] = jnp.where(upd, u_sel, bu_ref[rsel, :])
+                bv_ref[rsel, :] = jnp.where(upd, v_sel, bv_ref[rsel, :])
+                bnx_ref[rsel, :] = jnp.where(upd, nx_sel, bnx_ref[rsel, :])
+                bny_ref[rsel, :] = jnp.where(upd, ny_sel, bny_ref[rsel, :])
+                bnz_ref[rsel, :] = jnp.where(upd, nz_sel, bnz_ref[rsel, :])
+                btri_ref[rsel, :] = jnp.where(
+                    upd, (s_id * SUPER + ci) * TRIS + arg, btri_ref[rsel, :]
+                )
+                bt_ref[rsel, :] = jnp.where(upd, min_t, bt_ref[rsel, :])
+
+        @pl.when(smask_ref[s_id, 0] != 0)
+        def _():
+            # child cull for THIS supercluster only ([1, 64, 8] streamed block)
+            cmask_ref[:, :] = cull(bbox_ref[0])
+
+            def inner(ci, _):
+                @pl.when(cmask_ref[ci, 0] != 0)
+                def _():
+                    process_cluster(ci)
+                return 0
+
+            jax.lax.fori_loop(0, SUPER, inner, 0)
+
+        # last supercluster step: emit the block's results
+        @pl.when(s_id == S - 1)
+        def _():
+            best_tri = btri_ref[:]
+            best_t = bt_ref[:]
+            prim = jnp.where(best_tri >= 0, best_tri // 2, -1)
+            prim = jnp.where(prim >= q, -1, prim)
+            hit = prim >= 0
+            t_out = jnp.where(hit, best_t, tmax)
+            prim_ref[:, :] = prim
+            u_ref[:, :] = bu_ref[:]
+            v_ref[:, :] = bv_ref[:]
+            t_ref[:, :] = t_out
+            px_ref[:, :] = ox + t_out * dx
+            py_ref[:, :] = oy + t_out * dy
+            pz_ref[:, :] = oz + t_out * dz
+            nx_ref[:, :] = bnx_ref[:]
+            ny_ref[:, :] = bny_ref[:]
+            nz_ref[:, :] = bnz_ref[:]
+
+    return kernel
+
+
+def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, interpret: bool = False):
+    """Large-scene cluster intersector -> Hit. Tables live in HBM and are
+    pipeline-streamed one supercluster per grid step."""
+    q = len(prim_verts_np)
+    tfm, nrm, bbox, n_clusters = build_cluster_tables(
+        np.asarray(prim_verts_np, np.float64)
+    )
+    sbbox = build_super_bbox(bbox)
+    n_super = len(sbbox)
+    c_pad = n_super * SUPER
+    if c_pad > n_clusters:
+        padb = np.zeros((c_pad - n_clusters, 8), np.float32)
+        padb[:, 0:3] = 1.0
+        padb[:, 3:6] = -1.0
+        bbox = np.concatenate([bbox, padb], axis=0)
+        padt = np.zeros((c_pad - n_clusters,) + tfm.shape[1:], np.float32)
+        padt[:, 11, :] = 1.0  # never-hit transforms
+        tfm = np.concatenate([tfm, padt], axis=0)
+        nrm = np.concatenate(
+            [nrm, np.zeros((c_pad - n_clusters,) + nrm.shape[1:], np.float32)], axis=0
+        )
+    tfm_d = jnp.asarray(tfm)
+    nrm_d = jnp.asarray(nrm)
+    bbox_d = jnp.asarray(bbox.reshape(n_super, SUPER, 8))
+    sbbox_d = jnp.asarray(sbbox)
+    kernel = _make_kernel_streamed(n_super, n_clusters, q)
+
+    vec_spec = pl.BlockSpec((ROWS, LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(
+            shape, lambda i, s, _s=shape: tuple(0 for _ in _s),
+            memory_space=pltpu.VMEM,
+        )
+
+    @jax.jit
+    def intersect(ro, rd, tmin, tmax):
+        n = ro.shape[0]
+        n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+        pad = n_pad - n
+
+        def prep(x):
+            return jnp.pad(x, ((0, pad),)).reshape(-1, LANES)
+
+        args = [
+            prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+            prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+            prep(tmin), prep(tmax),
+        ]
+        nblocks = args[0].shape[0] // ROWS
+        shape_f = jax.ShapeDtypeStruct(args[0].shape, jnp.float32)
+        shape_i = jax.ShapeDtypeStruct(args[0].shape, jnp.int32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nblocks, n_super),
+            in_specs=[vec_spec] * 8 + [
+                pl.BlockSpec(
+                    (1, SUPER, 8), lambda i, s: (s, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                full(sbbox.shape),
+                pl.BlockSpec(
+                    (SUPER, 12, TRIS), lambda i, s: (s, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (SUPER, 4, TRIS), lambda i, s: (s, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[vec_spec] * 10,
+            out_shape=[shape_i] + [shape_f] * 9,
+            scratch_shapes=[
+                pltpu.VMEM((SUPER, 1), jnp.int32),
+                pltpu.VMEM((n_super, 1), jnp.int32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.int32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args, bbox_d, sbbox_d, tfm_d, nrm_d)
 
         unpack = lambda x: x.reshape(-1)[:n]
         prim, u, v, t = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]), unpack(outs[3]))

@@ -172,7 +172,7 @@ def _make_kernel(prims: np.ndarray):
     return kernel
 
 
-def make_bruteforce_pallas(prim_verts_np: np.ndarray):
+def make_bruteforce_pallas(prim_verts_np: np.ndarray, interpret: bool = False):
     """Build intersect(ro, rd, tmin, tmax) -> (hit, prim, u, v, t) backed by
     the Pallas kernel. Prim table is baked in (static per scene)."""
     q = len(prim_verts_np)
@@ -206,6 +206,7 @@ def make_bruteforce_pallas(prim_verts_np: np.ndarray):
             in_specs=[spec] * 8,
             out_specs=[spec] * 10,
             out_shape=out_shape,
+            interpret=interpret,
         )(rox, roy, roz, rdx, rdy, rdz, tmin_p, tmax_p)
 
         def unpack(x):

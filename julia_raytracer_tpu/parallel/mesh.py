@@ -79,7 +79,6 @@ def shard_train_step(mesh: Mesh, dscene, config, options, cam, width, height,
         static_argnums=(4,),
         in_shardings=(rep, rep, shard, vec),
         out_shardings=(rep, rep, rep),
-        donate_argnums=(0, 1),
     )
     def step(mat_color, mat_emission, pixel_ids, target, n_samples):
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(

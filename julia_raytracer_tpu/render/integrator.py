@@ -90,11 +90,14 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
 
             return make_bruteforce_pallas(np.asarray(dscene.prim_verts))
         from julia_raytracer_tpu.ops.pallas_cluster import (
-            MAX_VMEM_PRIMS, make_cluster_intersect,
+            MAX_VMEM_PRIMS,
+            make_cluster_intersect,
+            make_cluster_intersect_hbm,
         )
 
         if config.n_prims <= MAX_VMEM_PRIMS:
             return make_cluster_intersect(np.asarray(dscene.prim_verts))
+        return make_cluster_intersect_hbm(np.asarray(dscene.prim_verts))
     return make_intersect(dscene, config)
 
 

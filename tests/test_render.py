@@ -86,7 +86,9 @@ def test_checkpoint_resume(tmp_path, cornellbox):
 
 
 def test_aovs_cornellbox(cornellbox):
-    r, state, img = render(cornellbox, size=32, spp=2)
+    # spp=1: the normal AOV is a running mean over samples (src/trace.jl:635),
+    # so multi-sample edge pixels legitimately average orthogonal normals
+    r, state, img = render(cornellbox, size=32, spp=1)
     aovs = r.get_aovs(state)
     assert aovs["albedo"].shape == (32, 32, 3)
     assert aovs["normal"].shape == (32, 32, 3)
