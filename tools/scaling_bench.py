@@ -1,0 +1,79 @@
+"""Scaling-efficiency harness (BASELINE config 5): rays/s vs device count.
+
+Runs the sharded forward renderer on meshes of 1..N devices and reports
+per-count throughput + scaling efficiency. On the single-chip dev box
+use the virtual CPU mesh (numbers are only meaningful relative to each
+other); on a pod slice it measures the real thing:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_bench.py [scene.json] [resolution]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from julia_raytracer_tpu.ops.camera import sample_camera
+from julia_raytracer_tpu.parallel.mesh import make_mesh, shard_render_fn
+from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
+from julia_raytracer_tpu.scene.loader import load_scene
+from julia_raytracer_tpu.utils import rng as rng_mod
+
+
+def main():
+    scene_path = sys.argv[1] if len(sys.argv) > 1 else (
+        "/root/reference/scenes/staircase2/staircase2.json"
+    )
+    res = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    scene = load_scene(scene_path)
+    params = Params(resolution=res, samples=1, bounces=8, sampler="path")
+    r = Renderer(scene, params)
+    state = make_trace_state(scene, params)
+    n = state.n_pixels
+    print(f"scene={scene_path} rays={n} devices_avail={len(jax.devices())}")
+
+    pix = jnp.arange(n, dtype=jnp.int32)
+    rng = rng_mod.seed_state(pix, jnp.int32(0), 0)
+    puv, rng = rng_mod.rand2f(rng)
+    luv, rng = rng_mod.rand2f(rng)
+    ij = jnp.stack([pix % state.width, pix // state.width], axis=-1)
+    ro, rd = sample_camera(
+        r.cam_arrays, ij, (state.width, state.height), puv, luv, False
+    )
+
+    counts = []
+    d = 1
+    while d <= len(jax.devices()):
+        counts.append(d)
+        d *= 2
+    base = None
+    for nd in counts:
+        mesh = make_mesh(nd)
+        render = shard_render_fn(mesh, r.dscene, r.config, r.options)
+        out = render(r.dscene, ro, rd, rng)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = render(r.dscene, ro, rd, rng)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        rays_s = n / dt
+        if base is None:
+            base = rays_s
+        eff = rays_s / (base * nd)
+        print(
+            f"devices={nd:2d}  {dt*1e3:8.2f} ms  {rays_s/1e6:8.2f} Mrays/s  "
+            f"scaling efficiency {eff*100:5.1f}%"
+        )
+
+
+if __name__ == "__main__":
+    main()
