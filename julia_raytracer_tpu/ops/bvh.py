@@ -65,10 +65,112 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
+def _sah_levels(
+    bb_min: np.ndarray, bb_max: np.ndarray, order: np.ndarray, leaf_size: int,
+    n_bins: int = 16,
+):
+    """Level-synchronous binned-SAH split structure (reference: split_sah,
+    src/bvh.jl:218-274 — 16 bins, all 3 axes). Mutates `order` by
+    partitioning every active range at its best (axis, bin) plane and
+    returns (order, levels) where levels mirrors the median builder's
+    (starts, ends) pairing contract (children of internal ranges only,
+    interleaved 2k/2k+1).
+
+    Fully vectorized across ranges: per-prim bin ids are keyed by
+    (range, axis, bin) and histogrammed with one bincount; each level's
+    partition is a single stable lexsort."""
+    q = len(order)
+    centers = (bb_min + bb_max) * 0.5
+    ext = bb_max - bb_min
+    area = 2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 0] * ext[:, 2])
+
+    levels = []
+    starts = np.array([0], np.int64)
+    ends = np.array([q], np.int64)
+    while True:
+        levels.append((starts, ends))
+        counts = ends - starts
+        internal = counts > leaf_size
+        if not internal.any():
+            break
+        a_starts, a_ends = starts[internal], ends[internal]
+        r = len(a_starts)
+
+        # vectorized per-position range ids over the sorted order
+        mark = np.zeros(q + 1, np.int64)
+        np.add.at(mark, a_starts, 1)
+        np.add.at(mark, a_ends, -1)
+        inside = np.cumsum(mark[:q]) > 0
+        rmark = np.zeros(q, np.int64)
+        rmark[a_starts] = 1
+        rid_all = np.cumsum(rmark) - 1
+        prid = rid_all[inside]
+        pid = order[inside]
+
+        c = centers[pid]
+        lo = np.full((r, 3), np.inf)
+        hi = np.full((r, 3), -np.inf)
+        np.minimum.at(lo, prid, c)
+        np.maximum.at(hi, prid, c)
+        extent = np.where(hi - lo > 0, hi - lo, 1.0)
+        binid = np.clip(
+            ((c - lo[prid]) / extent[prid] * n_bins).astype(np.int64), 0, n_bins - 1
+        )  # [P, 3]
+        w = area[pid]
+        key = (prid[:, None] * 3 + np.arange(3)[None, :]) * n_bins + binid
+        cnt = np.bincount(key.ravel(), minlength=r * 3 * n_bins).reshape(r, 3, n_bins)
+        asum = np.bincount(
+            key.ravel(), weights=np.repeat(w, 3), minlength=r * 3 * n_bins
+        ).reshape(r, 3, n_bins)
+        cl = np.cumsum(cnt, axis=2)
+        al = np.cumsum(asum, axis=2)
+        cr = cl[:, :, -1:] - cl
+        ar = al[:, :, -1:] - al
+        # binned SAH proxy: sum-of-areas x count per side (matches the
+        # reference's bbox_area x count ranking in spirit)
+        cost = (al * cl + ar * cr)[:, :, :-1]
+        bad = (cl[:, :, :-1] == 0) | (cr[:, :, :-1] == 0)
+        cost = np.where(bad, np.inf, cost)
+        flat = cost.reshape(r, -1)
+        best = np.argmin(flat, axis=1)
+        best_axis = best // (n_bins - 1)
+        best_bin = best % (n_bins - 1)
+        no_split = ~np.isfinite(flat[np.arange(r), best])
+
+        side = (
+            binid[np.arange(len(prid)), best_axis[prid]] > best_bin[prid]
+        ).astype(np.int64)
+        if no_split.any():
+            pos_in_range = np.nonzero(inside)[0] - a_starts[prid]
+            med = (a_ends - a_starts)[prid] // 2
+            side = np.where(
+                no_split[prid], (pos_in_range >= med).astype(np.int64), side
+            )
+        # stable partition of every active range at once
+        perm = np.lexsort((side, prid))
+        order[inside] = pid[perm]
+
+        right_counts = np.bincount(prid, weights=side, minlength=r).astype(np.int64)
+        mids = a_ends - right_counts
+        mids = np.clip(mids, a_starts + 1, a_ends - 1)  # guarantee progress
+        nxt_starts = np.empty(2 * r, np.int64)
+        nxt_ends = np.empty(2 * r, np.int64)
+        nxt_starts[0::2] = a_starts
+        nxt_ends[0::2] = mids
+        nxt_starts[1::2] = mids
+        nxt_ends[1::2] = a_ends
+        starts, ends = nxt_starts, nxt_ends
+    return order, levels
+
+
 def build_bvh(
-    bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = LEAF_SIZE
+    bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = LEAF_SIZE,
+    sah: bool = False,
 ) -> FlatBVH:
-    """Build from per-primitive bboxes; returns flat nodes + prim permutation."""
+    """Build from per-primitive bboxes; returns flat nodes + prim permutation.
+
+    `sah=True` (--highqualitybvh) refines the Morton order with binned
+    SAH partitions before emitting the packed nodes."""
     q = len(bb_min)
     if q == 0:
         return FlatBVH(
@@ -94,27 +196,29 @@ def build_bvh(
             root_is_leaf=True,
         )
 
-    smin, smax = bb_min[order], bb_max[order]
+    if sah:
+        order, levels = _sah_levels(bb_min, bb_max, order, leaf_size)
+    else:
+        # level-synchronous construction of median (in Morton order) splits
+        levels = []
+        starts = np.array([0], np.int64)
+        ends = np.array([q], np.int64)
+        while True:
+            levels.append((starts, ends))
+            counts = ends - starts
+            internal = counts > leaf_size
+            if not internal.any():
+                break
+            mids = (starts[internal] + ends[internal]) // 2
+            nxt_starts = np.empty(2 * internal.sum(), np.int64)
+            nxt_ends = np.empty_like(nxt_starts)
+            nxt_starts[0::2] = starts[internal]
+            nxt_ends[0::2] = mids
+            nxt_starts[1::2] = mids
+            nxt_ends[1::2] = ends[internal]
+            starts, ends = nxt_starts, nxt_ends
 
-    # level-synchronous construction of median (in Morton order) splits
-    levels: list[tuple[np.ndarray, np.ndarray]] = []  # (starts, ends) per level
-    starts = np.array([0], np.int64)
-    ends = np.array([q], np.int64)
-    node_left_child = []  # per level: child pointers (filled below)
-    while True:
-        levels.append((starts, ends))
-        counts = ends - starts
-        internal = counts > leaf_size
-        if not internal.any():
-            break
-        mids = (starts[internal] + ends[internal]) // 2
-        nxt_starts = np.empty(2 * internal.sum(), np.int64)
-        nxt_ends = np.empty_like(nxt_starts)
-        nxt_starts[0::2] = starts[internal]
-        nxt_ends[0::2] = mids
-        nxt_starts[1::2] = mids
-        nxt_ends[1::2] = ends[internal]
-        starts, ends = nxt_starts, nxt_ends
+    smin, smax = bb_min[order], bb_max[order]
 
     # global ids: internal nodes only, BFS order
     level_internal_mask = []

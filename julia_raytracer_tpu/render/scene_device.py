@@ -105,7 +105,7 @@ def build_device_scene(
     flat = flatten_scene(scene_data)
     g = flat.geometry
     bb_min, bb_max = quad_bounds(g.prim_verts)
-    tree: FlatBVH = build_bvh(bb_min, bb_max)
+    tree: FlatBVH = build_bvh(bb_min, bb_max, sah=highquality_bvh)
     order = tree.order
 
     def sort(a):

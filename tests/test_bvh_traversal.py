@@ -120,3 +120,25 @@ def test_bvh_large_instanced(scenes_dir):
     np.testing.assert_array_equal(np.asarray(bh), np.asarray(th))
     hits = np.asarray(bh)
     np.testing.assert_allclose(np.asarray(bt)[hits], np.asarray(tt)[hits], rtol=1e-5)
+
+
+def test_sah_bvh_vs_bruteforce(rng):
+    """--highqualitybvh SAH build produces a correct tree."""
+    prims = random_tri_soup(rng, 1200)
+    tree = bvh_mod.build_bvh(*bvh_mod.quad_bounds(prims), sah=True)
+    assert not tree.root_is_leaf
+    assert sorted(tree.order.tolist()) == list(range(1200))  # permutation
+    sorted_prims = prims[tree.order]
+
+    ro, rd = random_rays(rng, 192)
+    tmin = jnp.full(192, RAY_EPS)
+    tmax = jnp.full(192, 3.4e38)
+    bh, bp, _, _, bt = intersect_bruteforce(
+        jnp.asarray(sorted_prims), ro, rd, tmin, tmax
+    )[:5]
+    th, tp, _, _, tt = intersect_bvh(
+        jnp.asarray(tree.nodes), jnp.asarray(sorted_prims), ro, rd, tmin, tmax
+    )[:5]
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(th))
+    hits = np.asarray(bh)
+    np.testing.assert_allclose(np.asarray(bt)[hits], np.asarray(tt)[hits], rtol=1e-5)

@@ -24,8 +24,9 @@ SCENES = {
     "cornellbox": (128, 64, 8, 0.006),
     "materials1": (256, 48, 8, 0.006),
     "shapes1": (256, 48, 8, 0.012),
-    "features1": (192, 32, 8, 0.015),
     "staircase2": (200, 32, 8, 0.030),
+    "materials4": (256, 48, 8, 0.012),
+    "features1": (192, 32, 8, 0.015),
     "bathroom1": (160, 48, 6, 0.040),
 }
 

@@ -18,6 +18,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# dev-box fallback: the host sitecustomize pins jax_platforms to the
+# single-chip axon backend; SCALING_CPU=1 forces the virtual CPU mesh
+if os.environ.get("SCALING_CPU"):
+    n = os.environ.get("SCALING_CPU_DEVICES", "8")
+    if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n}"
+        )
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from julia_raytracer_tpu.ops.camera import sample_camera
