@@ -41,7 +41,10 @@ TRIS = 2 * PRIMS_PER_CLUSTER
 ROWS = 8
 LANES = 128
 BLOCK_RAYS = ROWS * LANES  # 1024
-MAX_VMEM_PRIMS = 150_000  # above this the tables outgrow VMEM
+# VMEM budget: tables cost ~8 KB/cluster + ~1 KB/cluster of tile-padded
+# bbox/mask rows against the 16 MB limit; above this the streamed variant
+# takes over (classroom at 103k prims measurably OOMs the VMEM path)
+MAX_VMEM_PRIMS = 80_000
 
 
 def _tri_transforms_batch(a, b, c):
