@@ -224,6 +224,61 @@ def eval_material(scene, inst, texcoord, shp_color):
     )
 
 
+def eval_material_dense(scene, inst, shp_color, n_instances: int):
+    """Gather-free eval_material for small UNTEXTURED scenes: the
+    instance->material indirection is folded into scene.inst_mat_dense
+    [I, 16] and resolved with a compare-select chain (TPU dynamic gathers
+    cost ~3 ms per 262k-lane lookup; this costs microseconds).
+
+    Texture-modulation terms are identity by construction (no textures),
+    so the result matches eval_material exactly. NOT used in
+    differentiable mode: gradients flow through scene.materials, which
+    this table shadows."""
+    from julia_raytracer_tpu.utils.vecmath import select_rows
+
+    row = select_rows(scene.inst_mat_dense, inst, n_instances)  # [N, 16]
+    mtype = row[..., 0].astype(jnp.int32)
+    emission = row[..., 1:4]
+    color = row[..., 4:7] * shp_color[..., :3]
+    opacity = row[..., 15] * shp_color[..., 3]
+    roughness = row[..., 7] ** 2
+    metallic = row[..., 8]
+    ior = row[..., 9]
+    scattering = row[..., 10:13]
+    scanisotropy = row[..., 13]
+    trdepth = row[..., 14]
+
+    volumetric_like = (
+        (mtype == MaterialType.REFRACTIVE)
+        | (mtype == MaterialType.VOLUMETRIC)
+        | (mtype == MaterialType.SUBSURFACE)
+    )
+    density = jnp.where(
+        volumetric_like[..., None],
+        -jnp.log(jnp.clip(color, 1e-4, 1.0)) / trdepth[..., None],
+        0.0,
+    )
+    clamp_min = (
+        (mtype == MaterialType.MATTE)
+        | (mtype == MaterialType.GLTFPBR)
+        | (mtype == MaterialType.GLOSSY)
+    )
+    roughness = jnp.where(
+        clamp_min,
+        jnp.clip(roughness, MIN_ROUGHNESS, 1.0),
+        jnp.where(
+            mtype == MaterialType.VOLUMETRIC,
+            0.0,
+            jnp.where(roughness < MIN_ROUGHNESS, 0.0, roughness),
+        ),
+    )
+    return MaterialPoint(
+        type=mtype, emission=emission, color=color, opacity=opacity,
+        roughness=roughness, metallic=metallic, ior=ior, density=density,
+        scattering=scattering, scanisotropy=scanisotropy, trdepth=trdepth,
+    )
+
+
 def is_delta(material: MaterialPoint):
     """src/scene.jl:916-920."""
     t, r = material.type, material.roughness

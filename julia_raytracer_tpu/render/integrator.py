@@ -241,9 +241,23 @@ def trace_wavefront(
             shp_color = eval_ops.eval_color_attr(dscene, vidx, flags, u, v)
         else:
             shp_color = jnp.ones(u.shape + (4,), jnp.float32)
-        material = eval_ops.eval_material(dscene, inst, texcoord, shp_color)
-        mid = dscene.inst_material[inst]
-        normal_tex = dscene.materials.normal_tex[mid]
+        # gather-free material eval for small untextured scenes; disabled in
+        # differentiable (fixed-trip) mode where grads flow through
+        # dscene.materials, which the dense table shadows
+        dense_mats = (
+            not config.has_textures
+            and 0 < config.n_instances <= 64
+            and options.fixed_iterations == 0
+        )
+        if dense_mats:
+            material = eval_ops.eval_material_dense(
+                dscene, inst, shp_color, config.n_instances
+            )
+            normal_tex = jnp.full(n, -1, jnp.int32)  # no textures by construction
+        else:
+            material = eval_ops.eval_material(dscene, inst, texcoord, shp_color)
+            mid = dscene.inst_material[inst]
+            normal_tex = dscene.materials.normal_tex[mid]
         normal = eval_ops.eval_shading_normal(
             dscene, s.isec_gn, verts, vidx, inst, flags, u, v, outgoing,
             material.type, normal_tex, texcoord,

@@ -37,9 +37,16 @@ import numpy as np
 
 from julia_raytracer_tpu.ops.geometry import interpolate_quad, quad_normal
 from julia_raytracer_tpu.scene.flatten import FLAG_IS_TRIANGLE_SHAPE, FlatScene
-from julia_raytracer_tpu.utils.vecmath import normalize, transform_direction, transform_normal
+from julia_raytracer_tpu.utils.vecmath import (
+    normalize, select_rows, transform_direction, transform_normal,
+)
 
 PIF = jnp.float32(np.pi)
+
+# total light-element threshold for the gather-free (compare-select) path;
+# TPU dynamic gathers cost ~3 ms per 262k-lane lookup, a 64-deep select
+# chain costs microseconds
+DENSE_ELEMS = 64
 
 
 class DeviceLights(NamedTuple):
@@ -60,6 +67,10 @@ class DeviceLights(NamedTuple):
     env_cdf_count: jnp.ndarray  # i32 [Le] (0 = no emission texture)
     # pdf march support: per sorted prim, owning light's total area (0 = not a light)
     prim_light_area: jnp.ndarray  # f32 [Q]
+    # dense element tables (gather-free sampling when few light elements)
+    elem_verts: jnp.ndarray  # f32 [Ci, 12] world corners of each light element
+    elem_is_tri: jnp.ndarray  # bool [Ci]
+    elem_owner_area: jnp.ndarray  # f32 [Ci] owning light's total area
 
 
 @dataclass
@@ -70,6 +81,7 @@ class LightCounts:
     n_env: int
     max_inst_elems: int = 1  # largest per-light element count (search depth)
     max_env_texels: int = 1
+    total_inst_elems: int = 0  # sum over lights; small -> dense gather-free path
 
     @property
     def total(self) -> int:
@@ -150,6 +162,23 @@ def build_lights(flat: FlatScene, order: np.ndarray) -> tuple[DeviceLights, Ligh
             env_offsets.append(eoffset)
             env_counts.append(0)
 
+    # dense per-element tables (sorted-prim data, element order == cdf order)
+    all_prim_idx = (
+        np.concatenate(inst_prim_parts) if inst_prim_parts else np.zeros(0, np.int64)
+    ).astype(np.int64)
+    total_elems = len(all_prim_idx)
+    e_cap = max(total_elems, 1)
+    elem_verts_np = np.zeros((e_cap, 12), np.float32)
+    elem_is_tri_np = np.zeros(e_cap, bool)
+    elem_owner_area_np = np.zeros(e_cap, np.float32)
+    if total_elems:
+        elem_verts_np[:total_elems] = sorted_verts[all_prim_idx].reshape(-1, 12)
+        sorted_flags = g.prim_flags[order] if q else g.prim_flags
+        elem_is_tri_np[:total_elems] = (
+            sorted_flags[all_prim_idx] & FLAG_IS_TRIANGLE_SHAPE
+        ) != 0
+        elem_owner_area_np[:total_elems] = prim_light_area[all_prim_idx]
+
     lights = DeviceLights(
         inst_cdf=jnp.asarray(
             np.concatenate(inst_cdf_parts) if inst_cdf_parts else np.zeros(1, np.float32)
@@ -167,12 +196,16 @@ def build_lights(flat: FlatScene, order: np.ndarray) -> tuple[DeviceLights, Ligh
         env_cdf_offset=jnp.asarray(np.array(env_offsets or [0], np.int32)),
         env_cdf_count=jnp.asarray(np.array(env_counts or [0], np.int32)),
         prim_light_area=jnp.asarray(prim_light_area),
+        elem_verts=jnp.asarray(elem_verts_np),
+        elem_is_tri=jnp.asarray(elem_is_tri_np),
+        elem_owner_area=jnp.asarray(elem_owner_area_np),
     )
     counts = LightCounts(
         n_instance=len(inst_areas),
         n_env=len(env_ids),
         max_inst_elems=max(inst_counts) if inst_counts else 1,
         max_env_texels=max(env_counts) if env_counts else 1,
+        total_inst_elems=total_elems,
     )
     return lights, counts
 
@@ -259,14 +292,38 @@ def sample_lights(scene, lights: DeviceLights, counts: LightCounts, position, rl
 
     if counts.n_instance > 0:
         li = jnp.clip(lid, 0, counts.n_instance - 1)
-        off = lights.inst_cdf_offset[li]
-        cnt = lights.inst_cdf_count[li]
-        elem = sample_discrete(
-            lights.inst_cdf, off, cnt, rel, max_count=counts.max_inst_elems
-        )
-        prim = lights.inst_prim[jnp.clip(off + elem, 0, lights.inst_prim.shape[0] - 1)]
-        verts = scene.prim_verts[prim]  # [N,4,3]
-        is_tri = (scene.prim_flags[prim] & FLAG_IS_TRIANGLE_SHAPE) != 0
+        dense = 0 < counts.total_inst_elems <= DENSE_ELEMS and counts.n_instance <= DENSE_ELEMS
+        if dense:
+            # gather-free: light metadata + element pick + element verts all
+            # resolved with compare-select chains over tiny static tables
+            off = select_rows(lights.inst_cdf_offset, li, counts.n_instance)
+            cnt = select_rows(lights.inst_cdf_count, li, counts.n_instance)
+            total = select_rows(lights.inst_area, li, counts.n_instance)
+            limit = jnp.clip(rel * total, 0.0, total - 1e-5)
+            idx = jnp.zeros_like(off)
+            for e in range(counts.total_inst_elems):
+                in_seg = (e >= off) & (e < off + cnt)
+                idx = idx + (in_seg & (lights.inst_cdf[e] <= limit)).astype(jnp.int32)
+            eg = off + jnp.clip(idx, 0, cnt - 1)
+            v12 = select_rows(lights.elem_verts, eg, counts.total_inst_elems)
+            verts = v12.reshape(v12.shape[:-1] + (4, 3))
+            is_tri = (
+                select_rows(
+                    lights.elem_is_tri.astype(jnp.float32), eg, counts.total_inst_elems
+                )
+                > 0.5
+            )
+        else:
+            off = lights.inst_cdf_offset[li]
+            cnt = lights.inst_cdf_count[li]
+            elem = sample_discrete(
+                lights.inst_cdf, off, cnt, rel, max_count=counts.max_inst_elems
+            )
+            prim = lights.inst_prim[
+                jnp.clip(off + elem, 0, lights.inst_prim.shape[0] - 1)
+            ]
+            verts = scene.prim_verts[prim]  # [N,4,3]
+            is_tri = (scene.prim_flags[prim] & FLAG_IS_TRIANGLE_SHAPE) != 0
         uv = jnp.where(is_tri[..., None], sample_triangle_uv(ruv), ruv)
         lpos = interpolate_quad(
             verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :],
@@ -323,10 +380,23 @@ def env_lights_pdf(scene, lights: DeviceLights, counts: LightCounts, direction):
     return pdf
 
 
-def area_light_hit_pdf(lights: DeviceLights, prim, dist2, lnormal, direction, hit):
+def area_light_hit_pdf(
+    lights: DeviceLights, prim, dist2, lnormal, direction, hit, total_elems: int = 0
+):
     """One march-step contribution: dist^2 / (|cos| * area_owner) when the
-    hit prim belongs to a light (src/trace.jl:1036-1041)."""
-    area = lights.prim_light_area[jnp.clip(prim, 0, lights.prim_light_area.shape[0] - 1)]
+    hit prim belongs to a light (src/trace.jl:1036-1041). With few light
+    elements the owner lookup is a compare-select over the element prim
+    ids instead of a gather from the per-prim area array."""
+    if 0 < total_elems <= DENSE_ELEMS:
+        area = jnp.zeros(prim.shape, jnp.float32)
+        for e in range(total_elems):
+            area = jnp.where(
+                prim == lights.inst_prim[e], lights.elem_owner_area[e], area
+            )
+    else:
+        area = lights.prim_light_area[
+            jnp.clip(prim, 0, lights.prim_light_area.shape[0] - 1)
+        ]
     cos = jnp.abs(jnp.sum(lnormal * direction, axis=-1))
     contrib = dist2 / jnp.maximum(cos * area, 1e-30)
     return jnp.where(hit & (area > 0), contrib, 0.0)
@@ -358,7 +428,10 @@ def sample_lights_pdf(
             first_hit.hit, first_hit.prim, first_hit.t, first_hit.gnormal,
         )
         t_cum = t
-        pdf = pdf + area_light_hit_pdf(lights, prim, t_cum * t_cum, lnormal, direction, hit)
+        pdf = pdf + area_light_hit_pdf(
+            lights, prim, t_cum * t_cum, lnormal, direction, hit,
+            total_elems=counts.total_inst_elems,
+        )
         marching = hit
         for _ in range(extra_steps):
             # continue from just past the last hit (0.001 offset, src/trace.jl:1042)
@@ -369,7 +442,8 @@ def sample_lights_pdf(
             hit = step.hit & marching
             t_cum = jnp.where(hit, t_cum + 1e-3 + step.t, t_cum)
             pdf = pdf + area_light_hit_pdf(
-                lights, step.prim, t_cum * t_cum, step.gnormal, direction, hit
+                lights, step.prim, t_cum * t_cum, step.gnormal, direction, hit,
+                total_elems=counts.total_inst_elems,
             )
             marching = hit
 

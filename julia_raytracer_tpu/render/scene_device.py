@@ -72,6 +72,11 @@ class DeviceScene(NamedTuple):
     env_emission_tex: jnp.ndarray  # i32 [E]
     # lights
     lights: DeviceLights
+    # per-instance material constants folded to one row (gather-free
+    # material eval for small untextured scenes): [I, 16] =
+    # [type, emission*3, color*3, roughness, metallic, ior,
+    #  scattering*3, scanisotropy, trdepth, opacity]
+    inst_mat_dense: jnp.ndarray
 
 
 class SceneConfig(NamedTuple):
@@ -90,11 +95,33 @@ class SceneConfig(NamedTuple):
     has_normal_maps: bool
     has_opacity: bool
     present_types: tuple = tuple(range(8))  # sorted MaterialType ints present
+    n_instances: int = 0
     has_textures: bool = True
     has_vertex_normals: bool = True
     has_texcoords: bool = True
     has_colors: bool = True
     has_volumes: bool = True
+
+
+def _inst_mat_dense(g, m) -> np.ndarray:
+    """Fold the instance -> material indirection into one packed f32 row
+    per instance (texture-free constants only)."""
+    i_count = max(len(g.inst_material), 1)
+    out = np.zeros((i_count, 16), np.float32)
+    if len(m.type) == 0:
+        return out
+    mid = np.clip(g.inst_material, 0, len(m.type) - 1)
+    out[: len(mid), 0] = m.type[mid]
+    out[: len(mid), 1:4] = m.emission[mid]
+    out[: len(mid), 4:7] = m.color[mid]
+    out[: len(mid), 7] = m.roughness[mid]
+    out[: len(mid), 8] = m.metallic[mid]
+    out[: len(mid), 9] = m.ior[mid]
+    out[: len(mid), 10:13] = m.scattering[mid]
+    out[: len(mid), 13] = m.scanisotropy[mid]
+    out[: len(mid), 14] = m.trdepth[mid]
+    out[: len(mid), 15] = m.opacity[mid]
+    return out
 
 
 def build_device_scene(
@@ -157,6 +184,7 @@ def build_device_scene(
         env_emission=jnp.asarray(e.emission),
         env_emission_tex=jnp.asarray(e.emission_tex),
         lights=lights,
+        inst_mat_dense=jnp.asarray(_inst_mat_dense(g, m)),
     )
     from julia_raytracer_tpu.scene.flatten import (
         FLAG_HAS_COLORS,
@@ -178,6 +206,7 @@ def build_device_scene(
             bool((m.opacity < 1.0).any()) if len(m.opacity) else False
         ) or any_tex_alpha,
         present_types=present,
+        n_instances=flat.n_instances,
         has_textures=len(t.data) > 0,
         has_vertex_normals=bool(flags_union & FLAG_HAS_NORMALS),
         has_texcoords=bool(flags_union & FLAG_HAS_TEXCOORDS),
