@@ -84,10 +84,12 @@ def _tri_transforms_batch(a, b, c):
     return out, ok
 
 
-def build_cluster_tables(prim_verts: np.ndarray):
+def build_cluster_tables(prim_verts: np.ndarray, prim_instance=None):
     """prim_verts [Q,4,3] (Morton/BVH order) -> (tfm [C,12,128],
-    nrm [C,4,128], bbox [C,8], n_clusters). Fully vectorized (builds
-    million-prim tables in seconds); padding prims never hit."""
+    nrm [C,4,128], bbox [C,8], n_clusters). Row 3 of the normal table
+    carries the owning instance id (as f32) so the kernel can emit it
+    without a shading-time gather. Fully vectorized; padding prims never
+    hit."""
     q = len(prim_verts)
     c = max(1, -(-q // PRIMS_PER_CLUSTER))
     qp = c * PRIMS_PER_CLUSTER
@@ -128,6 +130,10 @@ def build_cluster_tables(prim_verts: np.ndarray):
     tfm = np.swapaxes(tfm, 1, 2).astype(np.float32)  # [C, 12, 128]
     nrm4 = np.zeros((c, 4, TRIS), np.float32)
     nrm4[:, :3] = np.swapaxes(nrm, 1, 2)
+    if prim_instance is not None:
+        iid = np.zeros(qp, np.float32)
+        iid[:q] = np.asarray(prim_instance, np.float32)
+        nrm4[:, 3, :] = np.repeat(iid, 2).reshape(c, TRIS)
     return tfm, nrm4, bbox, c
 
 
@@ -137,7 +143,7 @@ def _make_kernel(n_clusters: int, q: int):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref, bbox_ref, tfm_ref, nrm_ref,
                prim_ref, u_ref, v_ref, t_ref, px_ref, py_ref, pz_ref,
-               nx_ref, ny_ref, nz_ref,
+               nx_ref, ny_ref, nz_ref, in_ref,
                mask_ref):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # [8, 128]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -173,7 +179,8 @@ def _make_kernel(n_clusters: int, q: int):
 
         def cluster_body(c, carry):
             def process(carry):
-                best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz = carry
+                (best_t, best_tri, best_u, best_v,
+                 best_nx, best_ny, best_nz, best_in) = carry
                 T = tfm_ref[c]  # [12, 128]
                 nrm = nrm_ref[c]  # [4, 128]
                 A = [
@@ -230,6 +237,7 @@ def _make_kernel(n_clusters: int, q: int):
                     nx_sel = ndot(0)
                     ny_sel = ndot(1)
                     nz_sel = ndot(2)
+                    inst_sel = ndot(3)  # instance id rides the normal table
 
                     odd = (arg % 2) == 1
                     u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
@@ -248,9 +256,10 @@ def _make_kernel(n_clusters: int, q: int):
                     best_nx = put(best_nx, nx_sel)
                     best_ny = put(best_ny, ny_sel)
                     best_nz = put(best_nz, nz_sel)
+                    best_in = put(best_in, inst_sel)
                     best_tri = put(best_tri, c * TRIS + arg)
                     best_t = put(best_t, min_t)
-                return best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz
+                return best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz, best_in
 
             return jax.lax.cond(mask_ref[c, 0] != 0, process, lambda cr: cr, carry)
 
@@ -262,9 +271,10 @@ def _make_kernel(n_clusters: int, q: int):
             jnp.zeros((ROWS, LANES), jnp.float32),
             jnp.zeros((ROWS, LANES), jnp.float32),
             jnp.zeros((ROWS, LANES), jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
         )
         carry = jax.lax.fori_loop(0, C, cluster_body, carry)
-        best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz = carry
+        best_t, best_tri, best_u, best_v, best_nx, best_ny, best_nz, best_in = carry
 
         prim = jnp.where(best_tri >= 0, best_tri // 2, -1)
         prim = jnp.where(prim >= q, -1, prim)
@@ -280,16 +290,18 @@ def _make_kernel(n_clusters: int, q: int):
         nx_ref[:, :] = best_nx
         ny_ref[:, :] = best_ny
         nz_ref[:, :] = best_nz
+        in_ref[:, :] = (best_in + 0.5).astype(jnp.int32)
 
     return kernel
 
 
-def make_cluster_intersect(prim_verts_np: np.ndarray, interpret: bool = False):
+def make_cluster_intersect(prim_verts_np: np.ndarray, prim_instance=None,
+                           interpret: bool = False):
     """Build intersect(ro, rd, tmin, tmax) -> Hit backed by the cluster
     kernel. Tables are device-resident (VMEM) per scene."""
     q = len(prim_verts_np)
     tfm, nrm, bbox, n_clusters = build_cluster_tables(
-        np.asarray(prim_verts_np, np.float64)
+        np.asarray(prim_verts_np, np.float64), prim_instance
     )
     tfm_d = jnp.asarray(tfm)
     nrm_d = jnp.asarray(nrm)
@@ -326,8 +338,8 @@ def make_cluster_intersect(prim_verts_np: np.ndarray, interpret: bool = False):
             in_specs=[vec_spec] * 8 + [
                 full(bbox.shape), full(tfm.shape), full(nrm.shape)
             ],
-            out_specs=[vec_spec] * 10,
-            out_shape=[shape_i] + [shape_f] * 9,
+            out_specs=[vec_spec] * 11,
+            out_shape=[shape_i] + [shape_f] * 9 + [shape_i],
             scratch_shapes=[pltpu.VMEM((n_clusters, 1), jnp.int32)],
             interpret=interpret,
         )(*args, bbox_d, tfm_d, nrm_d)
@@ -337,7 +349,7 @@ def make_cluster_intersect(prim_verts_np: np.ndarray, interpret: bool = False):
         pos = jnp.stack([unpack(outs[4]), unpack(outs[5]), unpack(outs[6])], axis=-1)
         gn = jnp.stack([unpack(outs[7]), unpack(outs[8]), unpack(outs[9])], axis=-1)
         hit = prim >= 0
-        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn)
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, unpack(outs[10]))
 
     return intersect
 
@@ -375,9 +387,10 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref, bbox_ref, sbbox_ref, tfm_ref, nrm_ref,
                prim_ref, u_ref, v_ref, t_ref, px_ref, py_ref, pz_ref,
-               nx_ref, ny_ref, nz_ref,
+               nx_ref, ny_ref, nz_ref, in_ref,
                cmask_ref, smask_ref,
-               bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref):
+               bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+               bin_ref):
         s_id = pl.program_id(1)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # [8, 128]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -419,6 +432,7 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
             bnx_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
             bny_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
             bnz_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bin_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
 
         tri_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, LANES), 0)
 
@@ -475,6 +489,7 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
                 nx_sel = ndot(0)
                 ny_sel = ndot(1)
                 nz_sel = ndot(2)
+                inst_sel = ndot(3)  # instance id rides the normal table
 
                 odd = (arg % 2) == 1
                 u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
@@ -486,6 +501,7 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
                 bnx_ref[rsel, :] = jnp.where(upd, nx_sel, bnx_ref[rsel, :])
                 bny_ref[rsel, :] = jnp.where(upd, ny_sel, bny_ref[rsel, :])
                 bnz_ref[rsel, :] = jnp.where(upd, nz_sel, bnz_ref[rsel, :])
+                bin_ref[rsel, :] = jnp.where(upd, inst_sel, bin_ref[rsel, :])
                 btri_ref[rsel, :] = jnp.where(
                     upd, (s_id * SUPER + ci) * TRIS + arg, btri_ref[rsel, :]
                 )
@@ -523,16 +539,18 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
             nx_ref[:, :] = bnx_ref[:]
             ny_ref[:, :] = bny_ref[:]
             nz_ref[:, :] = bnz_ref[:]
+            in_ref[:, :] = (bin_ref[:] + 0.5).astype(jnp.int32)
 
     return kernel
 
 
-def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, interpret: bool = False):
+def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
+                               interpret: bool = False):
     """Large-scene cluster intersector -> Hit. Tables live in HBM and are
     pipeline-streamed one supercluster per grid step."""
     q = len(prim_verts_np)
     tfm, nrm, bbox, n_clusters = build_cluster_tables(
-        np.asarray(prim_verts_np, np.float64)
+        np.asarray(prim_verts_np, np.float64), prim_instance
     )
     sbbox = build_super_bbox(bbox)
     n_super = len(sbbox)
@@ -597,13 +615,14 @@ def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, interpret: bool = Fals
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=[vec_spec] * 10,
-            out_shape=[shape_i] + [shape_f] * 9,
+            out_specs=[vec_spec] * 11,
+            out_shape=[shape_i] + [shape_f] * 9 + [shape_i],
             scratch_shapes=[
                 pltpu.VMEM((SUPER, 1), jnp.int32),
                 pltpu.VMEM((n_super, 1), jnp.int32),
                 pltpu.VMEM((ROWS, LANES), jnp.float32),
                 pltpu.VMEM((ROWS, LANES), jnp.int32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
                 pltpu.VMEM((ROWS, LANES), jnp.float32),
                 pltpu.VMEM((ROWS, LANES), jnp.float32),
                 pltpu.VMEM((ROWS, LANES), jnp.float32),
@@ -618,6 +637,6 @@ def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, interpret: bool = Fals
         pos = jnp.stack([unpack(outs[4]), unpack(outs[5]), unpack(outs[6])], axis=-1)
         gn = jnp.stack([unpack(outs[7]), unpack(outs[8]), unpack(outs[9])], axis=-1)
         hit = prim >= 0
-        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn)
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, unpack(outs[10]))
 
     return intersect

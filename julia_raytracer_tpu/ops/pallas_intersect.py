@@ -79,16 +79,17 @@ def _quad_normal_const(r):
     return tuple((n / l if l > 0 else n).astype(np.float32))
 
 
-def _make_kernel(prims: np.ndarray):
+def _make_kernel(prims: np.ndarray, inst_ids):
     """Bake the prim table into the kernel as unrolled constants."""
     q = len(prims)
     rows = [tuple(float(x) for x in prims[i]) for i in range(q)]
     normals = [_quad_normal_const(prims[i]) for i in range(q)]
+    insts = [int(inst_ids[i]) for i in range(q)] if inst_ids is not None else [0] * q
 
     def kernel(rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                tmin_ref, tmax_ref,
                prim_ref, u_ref, v_ref, t_ref,
-               px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref):
+               px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, in_ref):
         rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
         rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
         tmin, tmax = tmin_ref[:], tmax_ref[:]
@@ -137,6 +138,7 @@ def _make_kernel(prims: np.ndarray):
         nx = jnp.zeros_like(rox)
         ny = jnp.zeros_like(rox)
         nz = jnp.zeros_like(rox)
+        inst = jnp.zeros(rox.shape, jnp.int32)
         for i in range(q):
             m = best_prim == i
             r = rows[i]
@@ -157,6 +159,7 @@ def _make_kernel(prims: np.ndarray):
             nx = jnp.where(m, nrm[0], nx)
             ny = jnp.where(m, nrm[1], ny)
             nz = jnp.where(m, nrm[2], nz)
+            inst = jnp.where(m, insts[i], inst)
 
         prim_ref[:] = best_prim
         u_ref[:] = best_u
@@ -168,16 +171,18 @@ def _make_kernel(prims: np.ndarray):
         nx_ref[:] = nx
         ny_ref[:] = ny
         nz_ref[:] = nz
+        in_ref[:] = inst
 
     return kernel
 
 
-def make_bruteforce_pallas(prim_verts_np: np.ndarray, interpret: bool = False):
-    """Build intersect(ro, rd, tmin, tmax) -> (hit, prim, u, v, t) backed by
-    the Pallas kernel. Prim table is baked in (static per scene)."""
+def make_bruteforce_pallas(prim_verts_np: np.ndarray, prim_instance=None,
+                           interpret: bool = False):
+    """Build intersect(ro, rd, tmin, tmax) -> Hit backed by the Pallas
+    kernel. Prim table (and instance ids) are baked in (static per scene)."""
     q = len(prim_verts_np)
     prims = np.asarray(prim_verts_np, np.float32).reshape(q, 12)
-    kernel = _make_kernel(prims)
+    kernel = _make_kernel(prims, prim_instance)
     block = ROWS * LANES
 
     @jax.jit
@@ -199,12 +204,12 @@ def make_bruteforce_pallas(prim_verts_np: np.ndarray, interpret: bool = False):
         spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         out_shape = [jax.ShapeDtypeStruct(rox.shape, jnp.int32)] + [
             jax.ShapeDtypeStruct(rox.shape, jnp.float32) for _ in range(9)
-        ]
-        prim, u, v, t, px, py, pz, nx, ny, nz = pl.pallas_call(
+        ] + [jax.ShapeDtypeStruct(rox.shape, jnp.int32)]
+        prim, u, v, t, px, py, pz, nx, ny, nz, inst = pl.pallas_call(
             kernel,
             grid=(rblocks,),
             in_specs=[spec] * 8,
-            out_specs=[spec] * 10,
+            out_specs=[spec] * 11,
             out_shape=out_shape,
             interpret=interpret,
         )(rox, roy, roz, rdx, rdy, rdz, tmin_p, tmax_p)
@@ -216,6 +221,6 @@ def make_bruteforce_pallas(prim_verts_np: np.ndarray, interpret: bool = False):
         pos = jnp.stack([unpack(px), unpack(py), unpack(pz)], axis=-1)
         gn = jnp.stack([unpack(nx), unpack(ny), unpack(nz)], axis=-1)
         hit = prim >= 0
-        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn)
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, unpack(inst))
 
     return intersect

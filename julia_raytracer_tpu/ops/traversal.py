@@ -49,6 +49,8 @@ class Hit(NamedTuple):
     t: jnp.ndarray  # f32 [N]
     position: jnp.ndarray  # f32 [N, 3]
     gnormal: jnp.ndarray  # f32 [N, 3]
+    instance: jnp.ndarray  # i32 [N] owning instance (kernels carry it out;
+    # jnp paths gather it) — saves the per-bounce prim_instance gather
 
 
 def hit_surface(prim_verts, prim, u, v):
@@ -60,7 +62,8 @@ def hit_surface(prim_verts, prim, u, v):
     return position, quad_normal(p1, p2, p3, p4)
 
 
-def intersect_bruteforce(prim_verts, ro, rd, tmin, tmax, prim_mask=None):
+def intersect_bruteforce(prim_verts, ro, rd, tmin, tmax, prim_mask=None,
+                         prim_instance=None):
     """Dense all-prims intersection. prim_verts: [Q,4,3]; rays: [N,3].
 
     Returns (hit [N], prim [N] i32, u, v, t). Closest hit wins; ties keep
@@ -83,11 +86,16 @@ def intersect_bruteforce(prim_verts, ro, rd, tmin, tmax, prim_mask=None):
     prim = best.astype(jnp.int32)
     bu, bv, bt = u[n, best], v[n, best], t[n, best]
     pos, gn = hit_surface(prim_verts, prim, bu, bv)
-    return Hit(hit, prim, bu, bv, bt, pos, gn)
+    inst = (
+        prim_instance[prim] if prim_instance is not None
+        else jnp.zeros_like(prim)
+    )
+    return Hit(hit, prim, bu, bv, bt, pos, gn, inst)
 
 
 @partial(jax.jit, static_argnames=("find_any",))
-def intersect_bvh(nodes, prim_verts, ro, rd, tmin, tmax, find_any: bool = False):
+def intersect_bvh(nodes, prim_verts, ro, rd, tmin, tmax, find_any: bool = False,
+                  prim_instance=None):
     """Traverse packed BVH nodes for a ray wavefront.
 
     nodes: f32 [Nn, 16] (see ops/bvh.py); prim_verts: f32 [Q, 4, 3] in
@@ -177,9 +185,14 @@ def intersect_bvh(nodes, prim_verts, ro, rd, tmin, tmax, find_any: bool = False)
     state = jax.lax.while_loop(cond, step, state)
     _, _, _, _, best_t, best_prim, best_u, best_v = state
     hit = best_prim >= 0
-    pos, gn = hit_surface(prim_verts, jnp.maximum(best_prim, 0), best_u, best_v)
+    safe_prim = jnp.maximum(best_prim, 0)
+    pos, gn = hit_surface(prim_verts, safe_prim, best_u, best_v)
+    inst = (
+        prim_instance[safe_prim] if prim_instance is not None
+        else jnp.zeros_like(best_prim)
+    )
     return Hit(
-        hit, best_prim, best_u, best_v, jnp.where(hit, best_t, tmax), pos, gn
+        hit, best_prim, best_u, best_v, jnp.where(hit, best_t, tmax), pos, gn, inst
     )
 
 

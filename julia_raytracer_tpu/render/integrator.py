@@ -68,10 +68,16 @@ def make_intersect(dscene: DeviceScene, config: SceneConfig):
     path (pure VPU, zero gathers)."""
     if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
         def intersect(ro, rd, tmin, tmax):
-            return intersect_bruteforce(dscene.prim_verts, ro, rd, tmin, tmax)
+            return intersect_bruteforce(
+                dscene.prim_verts, ro, rd, tmin, tmax,
+                prim_instance=dscene.prim_instance,
+            )
     else:
         def intersect(ro, rd, tmin, tmax):
-            return intersect_bvh(dscene.nodes, dscene.prim_verts, ro, rd, tmin, tmax)
+            return intersect_bvh(
+                dscene.nodes, dscene.prim_verts, ro, rd, tmin, tmax,
+                prim_instance=dscene.prim_instance,
+            )
     return intersect
 
 
@@ -85,10 +91,11 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu and config.n_prims > 0:
+        inst_np = np.asarray(dscene.prim_instance)
         if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
             from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
 
-            return make_bruteforce_pallas(np.asarray(dscene.prim_verts))
+            return make_bruteforce_pallas(np.asarray(dscene.prim_verts), inst_np)
         from julia_raytracer_tpu.ops.pallas_cluster import (
             MAX_VMEM_PRIMS,
             make_cluster_intersect,
@@ -96,8 +103,8 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
         )
 
         if config.n_prims <= MAX_VMEM_PRIMS:
-            return make_cluster_intersect(np.asarray(dscene.prim_verts))
-        return make_cluster_intersect_hbm(np.asarray(dscene.prim_verts))
+            return make_cluster_intersect(np.asarray(dscene.prim_verts), inst_np)
+        return make_cluster_intersect_hbm(np.asarray(dscene.prim_verts), inst_np)
     return make_intersect(dscene, config)
 
 
@@ -139,6 +146,7 @@ def trace_wavefront(
         isec_t: jnp.ndarray
         isec_pos: jnp.ndarray
         isec_gn: jnp.ndarray
+        isec_inst: jnp.ndarray
         radiance: jnp.ndarray
         weight: jnp.ndarray
         rng: jnp.ndarray
@@ -165,6 +173,7 @@ def trace_wavefront(
         isec_t=h0.t,
         isec_pos=h0.position,
         isec_gn=h0.gnormal,
+        isec_inst=h0.instance,
         radiance=zeros3,
         weight=jnp.ones((n, 3), jnp.float32),
         rng=rng_state,
@@ -222,7 +231,7 @@ def trace_wavefront(
         prim = jnp.clip(s.isec_prim, 0, dscene.prim_verts.shape[0] - 1)
         u, v = s.isec_u, s.isec_v
         position = s.isec_pos
-        inst = dscene.prim_instance[prim]
+        inst = s.isec_inst
         need_attrs = (
             config.has_texcoords or config.has_colors
             or config.has_vertex_normals or config.has_normal_maps
@@ -496,6 +505,7 @@ def trace_wavefront(
             isec_t=nxt.t,
             isec_pos=nxt.position,
             isec_gn=nxt.gnormal,
+            isec_inst=nxt.instance,
             radiance=radiance,
             weight=weight,
             rng=rng,
