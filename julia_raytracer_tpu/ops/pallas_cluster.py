@@ -399,11 +399,15 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
         inv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
         idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
 
-        def cull(bm):
+        def cull(bm, per_row=False):
+            """bm [K, 8] -> any-ray-hits mask [K, 1] i32, or the
+            per-(cluster, row) mask [K, ROWS] when per_row (the sweep
+            skips rows whose 128 rays all miss — big win for divergent
+            bounce wavefronts)."""
             K = bm.shape[0]
             bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
             bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
-            mask = jnp.zeros((K, 1), jnp.int32)
+            cols = []
             for r in range(ROWS):
                 enter = None
                 exit_ = None
@@ -417,8 +421,13 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
                 enter = jnp.maximum(enter, tmin[r:r + 1, :])
                 exit_ = jnp.minimum(exit_, tmax[r:r + 1, :])
                 row_hit = enter <= exit_ * jnp.float32(1.00000024)
-                mask = mask | jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32)
-            return mask
+                cols.append(
+                    jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32)
+                )
+            full = jnp.concatenate(cols, axis=1)  # [K, ROWS]
+            if per_row:
+                return full
+            return jnp.any(full > 0, axis=1, keepdims=True).astype(jnp.int32)
 
         # first supercluster step for this ray block: cull + init state
         @pl.when(s_id == 0)
@@ -447,6 +456,8 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
                 for r_ in range(3)
             ]
             for r in range(ROWS):
+              @pl.when(cmask_ref[ci, r] != 0)
+              def _row(r=r):
                 o_h = jnp.concatenate(
                     [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
                      jnp.ones((1, LANES), jnp.float32)], axis=0,
@@ -509,11 +520,16 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
 
         @pl.when(smask_ref[s_id, 0] != 0)
         def _():
-            # child cull for THIS supercluster only ([1, 64, 8] streamed block)
-            cmask_ref[:, :] = cull(bbox_ref[0])
+            # child cull for THIS supercluster only ([1, 64, 8] streamed
+            # block), kept per-row so the sweep can skip dead rows
+            cmask_ref[:, :] = cull(bbox_ref[0], per_row=True)
 
             def inner(ci, _):
-                @pl.when(cmask_ref[ci, 0] != 0)
+                any_row = jnp.zeros((), jnp.int32)
+                for rr in range(ROWS):
+                    any_row = any_row | cmask_ref[ci, rr]
+
+                @pl.when(any_row != 0)
                 def _():
                     process_cluster(ci)
                 return 0
@@ -618,7 +634,7 @@ def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
             out_specs=[vec_spec] * 11,
             out_shape=[shape_i] + [shape_f] * 9 + [shape_i],
             scratch_shapes=[
-                pltpu.VMEM((SUPER, 1), jnp.int32),
+                pltpu.VMEM((SUPER, ROWS), jnp.int32),
                 pltpu.VMEM((n_super, 1), jnp.int32),
                 pltpu.VMEM((ROWS, LANES), jnp.float32),
                 pltpu.VMEM((ROWS, LANES), jnp.int32),

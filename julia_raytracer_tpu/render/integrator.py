@@ -96,14 +96,11 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
             from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
 
             return make_bruteforce_pallas(np.asarray(dscene.prim_verts), inst_np)
-        from julia_raytracer_tpu.ops.pallas_cluster import (
-            MAX_VMEM_PRIMS,
-            make_cluster_intersect,
-            make_cluster_intersect_hbm,
-        )
+        from julia_raytracer_tpu.ops.pallas_cluster import make_cluster_intersect_hbm
 
-        if config.n_prims <= MAX_VMEM_PRIMS:
-            return make_cluster_intersect(np.asarray(dscene.prim_verts), inst_np)
+        # the streamed kernel's per-row skipping beats the VMEM-resident
+        # variant at render batch sizes (>= ~16k rays), and it scales to
+        # kitchen-class scenes — one kernel covers everything non-tiny
         return make_cluster_intersect_hbm(np.asarray(dscene.prim_verts), inst_np)
     return make_intersect(dscene, config)
 
