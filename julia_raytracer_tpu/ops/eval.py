@@ -279,6 +279,64 @@ def eval_material_dense(scene, inst, shp_color, n_instances: int):
     )
 
 
+def eval_material_rows(scene, rows, texcoord, shp_color):
+    """eval_material from a pre-selected [N, 21] dense-material row
+    (constants + texture ids; see scene_device.inst_mat_dense) — the
+    textured counterpart of eval_material_dense: only the 4 texture
+    evaluations still gather; all table indirection is select-based."""
+    mtype = rows[..., 0].astype(jnp.int32)
+    e_tex = rows[..., 16].astype(jnp.int32)
+    c_tex = rows[..., 17].astype(jnp.int32)
+    r_tex = rows[..., 18].astype(jnp.int32)
+    s_tex = rows[..., 19].astype(jnp.int32)
+
+    emission_tex = tex_ops.eval_texture(scene.textures, e_tex, texcoord, as_linear=True)
+    color_tex = tex_ops.eval_texture(scene.textures, c_tex, texcoord, as_linear=True)
+    roughness_tex = tex_ops.eval_texture(scene.textures, r_tex, texcoord, as_linear=False)
+    scattering_tex = tex_ops.eval_texture(scene.textures, s_tex, texcoord, as_linear=True)
+
+    emission = rows[..., 1:4] * emission_tex[..., :3]
+    color = rows[..., 4:7] * color_tex[..., :3] * shp_color[..., :3]
+    opacity = rows[..., 15] * color_tex[..., 3] * shp_color[..., 3]
+    metallic = rows[..., 8] * roughness_tex[..., 2]
+    roughness = rows[..., 7] * roughness_tex[..., 1]
+    roughness = roughness * roughness
+    ior = rows[..., 9]
+    scattering = rows[..., 10:13] * scattering_tex[..., :3]
+    scanisotropy = rows[..., 13]
+    trdepth = rows[..., 14]
+
+    volumetric_like = (
+        (mtype == MaterialType.REFRACTIVE)
+        | (mtype == MaterialType.VOLUMETRIC)
+        | (mtype == MaterialType.SUBSURFACE)
+    )
+    density = jnp.where(
+        volumetric_like[..., None],
+        -jnp.log(jnp.clip(color, 1e-4, 1.0)) / trdepth[..., None],
+        0.0,
+    )
+    clamp_min = (
+        (mtype == MaterialType.MATTE)
+        | (mtype == MaterialType.GLTFPBR)
+        | (mtype == MaterialType.GLOSSY)
+    )
+    roughness = jnp.where(
+        clamp_min,
+        jnp.clip(roughness, MIN_ROUGHNESS, 1.0),
+        jnp.where(
+            mtype == MaterialType.VOLUMETRIC,
+            0.0,
+            jnp.where(roughness < MIN_ROUGHNESS, 0.0, roughness),
+        ),
+    )
+    return MaterialPoint(
+        type=mtype, emission=emission, color=color, opacity=opacity,
+        roughness=roughness, metallic=metallic, ior=ior, density=density,
+        scattering=scattering, scanisotropy=scanisotropy, trdepth=trdepth,
+    )
+
+
 def is_delta(material: MaterialPoint):
     """src/scene.jl:916-920."""
     t, r = material.type, material.roughness

@@ -247,19 +247,22 @@ def trace_wavefront(
             shp_color = eval_ops.eval_color_attr(dscene, vidx, flags, u, v)
         else:
             shp_color = jnp.ones(u.shape + (4,), jnp.float32)
-        # gather-free material eval for small untextured scenes; disabled in
-        # differentiable (fixed-trip) mode where grads flow through
-        # dscene.materials, which the dense table shadows
-        dense_mats = (
-            not config.has_textures
-            and 0 < config.n_instances <= 64
-            and options.fixed_iterations == 0
-        )
-        if dense_mats:
+        # gather-free material eval for small scenes (select-chain over the
+        # folded per-instance table); disabled in differentiable
+        # (fixed-trip) mode where grads flow through dscene.materials,
+        # which the dense table shadows
+        dense_mats = 0 < config.n_instances <= 64 and options.fixed_iterations == 0
+        if dense_mats and not config.has_textures:
             material = eval_ops.eval_material_dense(
                 dscene, inst, shp_color, config.n_instances
             )
             normal_tex = jnp.full(n, -1, jnp.int32)  # no textures by construction
+        elif dense_mats:
+            from julia_raytracer_tpu.utils.vecmath import select_rows
+
+            rows = select_rows(dscene.inst_mat_dense, inst, config.n_instances)
+            material = eval_ops.eval_material_rows(dscene, rows, texcoord, shp_color)
+            normal_tex = rows[..., 20].astype(jnp.int32)
         else:
             material = eval_ops.eval_material(dscene, inst, texcoord, shp_color)
             mid = dscene.inst_material[inst]

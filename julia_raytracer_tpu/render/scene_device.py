@@ -73,9 +73,10 @@ class DeviceScene(NamedTuple):
     # lights
     lights: DeviceLights
     # per-instance material constants folded to one row (gather-free
-    # material eval for small untextured scenes): [I, 16] =
+    # material eval for small scenes): [I, 21] =
     # [type, emission*3, color*3, roughness, metallic, ior,
-    #  scattering*3, scanisotropy, trdepth, opacity]
+    #  scattering*3, scanisotropy, trdepth, opacity,
+    #  emission_tex, color_tex, roughness_tex, scattering_tex, normal_tex]
     inst_mat_dense: jnp.ndarray
 
 
@@ -107,7 +108,8 @@ def _inst_mat_dense(g, m) -> np.ndarray:
     """Fold the instance -> material indirection into one packed f32 row
     per instance (texture-free constants only)."""
     i_count = max(len(g.inst_material), 1)
-    out = np.zeros((i_count, 16), np.float32)
+    out = np.zeros((i_count, 21), np.float32)
+    out[:, 16:21] = -1.0  # texture ids default to "none"
     if len(m.type) == 0:
         return out
     mid = np.clip(g.inst_material, 0, len(m.type) - 1)
@@ -121,6 +123,11 @@ def _inst_mat_dense(g, m) -> np.ndarray:
     out[: len(mid), 13] = m.scanisotropy[mid]
     out[: len(mid), 14] = m.trdepth[mid]
     out[: len(mid), 15] = m.opacity[mid]
+    out[: len(mid), 16] = m.emission_tex[mid]
+    out[: len(mid), 17] = m.color_tex[mid]
+    out[: len(mid), 18] = m.roughness_tex[mid]
+    out[: len(mid), 19] = m.scattering_tex[mid]
+    out[: len(mid), 20] = m.normal_tex[mid]
     return out
 
 
