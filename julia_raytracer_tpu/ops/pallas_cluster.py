@@ -115,16 +115,22 @@ def build_cluster_tables(prim_verts: np.ndarray, prim_instance=None):
     en = en / np.where(l > 0, l, 1.0)
     nrm = np.repeat(en, 2, axis=0).reshape(c, TRIS, 3)
 
-    # per-cluster bboxes over REAL prims (padding excluded via +-inf)
+    # per-cluster bboxes over REAL prims (padding excluded via +-inf).
+    # Fully-padded clusters get min=max=+3e38: the slab test then yields
+    # enter=max_axes(t) > exit=min_axes(t) for every non-diagonal ray, so
+    # padding clusters genuinely never pass the cull (an inverted box like
+    # min=+1/max=-1 is indistinguishable from [-1,1]^3 after the per-axis
+    # min/max swap and wastes full sweeps on origin-centered scenes).
+    NOHIT = np.float32(3e38)
     ppad = pv.reshape(qp, 4, 3).copy()
     ppad[q:] = np.inf
     bbox = np.zeros((c, 8), np.float32)
     bbox[:, 0:3] = np.nan_to_num(
-        ppad.reshape(c, -1, 3).min(axis=1), posinf=1.0
+        ppad.reshape(c, -1, 3).min(axis=1), posinf=NOHIT
     )
     ppad[q:] = -np.inf
     bbox[:, 3:6] = np.nan_to_num(
-        ppad.reshape(c, -1, 3).max(axis=1), neginf=-1.0
+        ppad.reshape(c, -1, 3).max(axis=1), neginf=NOHIT
     )
 
     tfm = np.swapaxes(tfm, 1, 2).astype(np.float32)  # [C, 12, 128]
@@ -573,8 +579,8 @@ def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
     c_pad = n_super * SUPER
     if c_pad > n_clusters:
         padb = np.zeros((c_pad - n_clusters, 8), np.float32)
-        padb[:, 0:3] = 1.0
-        padb[:, 3:6] = -1.0
+        padb[:, 0:3] = 3e38  # never-hit sentinel (see build_cluster_tables)
+        padb[:, 3:6] = 3e38
         bbox = np.concatenate([bbox, padb], axis=0)
         padt = np.zeros((c_pad - n_clusters,) + tfm.shape[1:], np.float32)
         padt[:, 11, :] = 1.0  # never-hit transforms

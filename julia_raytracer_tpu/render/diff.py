@@ -26,8 +26,21 @@ from julia_raytracer_tpu.render.integrator import TraceOptions, trace_wavefront
 from julia_raytracer_tpu.utils import rng as rng_mod
 
 
-def diff_options(options: TraceOptions, opacity_budget: int = 4) -> TraceOptions:
-    """Switch an options struct to the fixed-trip (differentiable) loop."""
+def diff_options(
+    options: TraceOptions, config=None, opacity_budget: int | None = None
+) -> TraceOptions:
+    """Switch an options struct to the fixed-trip (differentiable) loop.
+
+    The while_loop path allows up to 128 stochastic-opacity skips per lane
+    (src/trace.jl:356-364); a fixed-trip scan must budget iterations for
+    them up front. Opacity-free scenes (config.has_opacity False) need
+    none, so scan==while_loop exactly; scenes with opacity get a budget of
+    32 extra trips by default — lanes that roll more skips than that are
+    truncated (a documented approximation; P(>32 consecutive passthrough
+    resamples) is negligible for any non-degenerate opacity)."""
+    if opacity_budget is None:
+        has_op = bool(getattr(config, "has_opacity", True)) if config is not None else True
+        opacity_budget = 32 if has_op else 0
     return options._replace(
         fixed_iterations=options.bounces + 1 + opacity_budget
     )
@@ -81,7 +94,7 @@ def make_param_loss(dscene, config, options, cam, width, height):
     """Returns loss(color, emission, pixel_ids, target, n_samples) — the
     BASELINE config-3 objective: mean squared pixel error as a function of
     the material color (albedo) and emission tables."""
-    d_opts = diff_options(options)
+    d_opts = diff_options(options, config)
 
     def loss(mat_color, mat_emission, pixel_ids, target, n_samples, seed=0):
         mats = dscene.materials._replace(color=mat_color, emission=mat_emission)

@@ -228,7 +228,11 @@ def sample_discrete(cdf_flat, offset, count, r, max_count: int = 1 << 32):
     limit = jnp.clip(r * total, 0.0, total - 1e-5)
     lo = jnp.zeros_like(count)
     hi = count
-    for _ in range(max(1, int(max_count - 1).bit_length())):
+    # search interval is [0, count] (count+1 states): bit_length(max_count)
+    # = ceil(log2(max_count+1)) iterations. bit_length(max_count-1) is one
+    # short when count is an exact power of two (e.g. 2048x1024 env CDFs),
+    # silently folding element 1's mass into element 0.
+    for _ in range(max(1, int(max_count).bit_length())):
         mid = (lo + hi) // 2
         go = lo < hi
         v = cdf_flat[jnp.clip(offset + mid, 0, cdf_flat.shape[0] - 1)]

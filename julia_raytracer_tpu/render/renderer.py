@@ -245,6 +245,18 @@ class Renderer:
         chunk = min(MAX_CHUNK, n)
         kernel = self._sample_kernel(state.width, state.height, chunk)
         image, albedo, normal, hits = state.image, state.albedo, state.normal, state.hits
+        # Pad buffers to a chunk multiple so dynamic_update_slice start indices
+        # are never clamped (clamping would shift the last partial chunk's
+        # writes onto the wrong pixels). The `valid` mask inside the kernel
+        # keeps tail lanes at weight 0, and get_image/get_aovs slice back to
+        # n_pixels, so the padding is invisible outside this loop.
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        if image.shape[0] < n_pad:
+            pad = n_pad - image.shape[0]
+            image = jnp.pad(image, ((0, pad), (0, 0)))
+            albedo = jnp.pad(albedo, ((0, pad), (0, 0)))
+            normal = jnp.pad(normal, ((0, pad), (0, 0)))
+            hits = jnp.pad(hits, ((0, pad),))
         for sample in range(state.samples, target):
             for pixel0 in range(0, n, chunk):
                 image, albedo, normal, hits = kernel(

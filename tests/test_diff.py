@@ -35,7 +35,7 @@ def test_fixed_trip_equals_while_loop(setup):
     n = state.width * state.height
     pix = jnp.arange(n, dtype=jnp.int32)
     opts_w = r.options
-    opts_s = diff_options(r.options)
+    opts_s = diff_options(r.options, r.config)
     rad_w = render_radiance(
         r.dscene, r.config, opts_w, r.cam_arrays, state.width, state.height,
         pix, jnp.int32(0),
@@ -98,7 +98,7 @@ def test_emission_grad_direction(setup):
     from julia_raytracer_tpu.render.diff import diff_options, render_radiance
 
     rad = render_radiance(
-        r.dscene, r.config, diff_options(r.options), r.cam_arrays,
+        r.dscene, r.config, diff_options(r.options, r.config), r.cam_arrays,
         state.width, state.height, pix, jnp.int32(0),
     )
     target = 2.0 * rad

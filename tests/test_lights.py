@@ -18,6 +18,27 @@ def test_sample_discrete_matches_numpy():
     np.testing.assert_array_equal(got, np.clip(want, 0, 3))
 
 
+def test_sample_discrete_power_of_two_count():
+    """Regression: with max_count equal to an exact power-of-two segment
+    length the fixed-depth search used to run one iteration short and
+    return element 0 for all of element 1's probability mass (ADVICE r1).
+    Production call sites pass max_count=count (e.g. 2^21 env CDFs)."""
+    for n in (2, 4, 8, 16, 1024):
+        w = np.ones(n, np.float32)
+        cdf = jnp.asarray(np.cumsum(w))
+        rs = jnp.asarray(np.linspace(0, 0.999, 257, dtype=np.float32))
+        offset = jnp.zeros(257, jnp.int32)
+        count = jnp.full(257, n, jnp.int32)
+        got = np.asarray(L.sample_discrete(cdf, offset, count, rs, max_count=n))
+        want = np.clip(
+            np.searchsorted(
+                np.asarray(cdf), np.clip(np.asarray(rs) * n, 0, n - 1e-5), side="right"
+            ),
+            0, n - 1,
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"count={n}")
+
+
 def test_sample_discrete_pdf():
     cdf = jnp.asarray(np.cumsum([1.0, 3.0, 0.5, 2.0]).astype(np.float32))
     for i, w in enumerate([1.0, 3.0, 0.5, 2.0]):

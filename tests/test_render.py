@@ -62,6 +62,22 @@ def test_different_seed_differs(cornellbox):
     assert np.abs(img1 - img2).max() > 0
 
 
+def test_partial_chunk_accumulation(monkeypatch, cornellbox):
+    """Regression (ADVICE r1 high): when n_pixels is not a multiple of the
+    dispatch chunk, dynamic_update_slice used to clamp the last chunk's
+    start index and write a shifted band of wrong pixels. Force a small
+    chunk that doesn't divide 32x32=1024 and compare with the one-chunk
+    render."""
+    from julia_raytracer_tpu.render import renderer as renderer_mod
+
+    _, _, ref = render(cornellbox, size=32, spp=2, sampler="path")
+    monkeypatch.setattr(renderer_mod, "MAX_CHUNK", 384)  # 1024 = 2*384 + 256
+    _, _, chunked = render(cornellbox, size=32, spp=2, sampler="path")
+    # tiny atol: different chunk shapes fuse differently (float rounding);
+    # the regression being guarded produced order-1 shifted pixel bands
+    np.testing.assert_allclose(ref, chunked, atol=1e-5)
+
+
 def test_checkpoint_resume(tmp_path, cornellbox):
     params = Params(resolution=32, samples=4, batch=2, sampler="path")
     r = Renderer(cornellbox, params)
