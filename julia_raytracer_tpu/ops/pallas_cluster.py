@@ -28,6 +28,8 @@ variant lands.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +49,18 @@ BLOCK_RAYS = ROWS * LANES  # 1024
 MAX_VMEM_PRIMS = 80_000
 
 
+def _cross(a, b):
+    """np.cross without its moveaxis/ufunc overhead (~4x faster on the
+    multi-million-row batches the kitchen-class table build feeds it)."""
+    out = np.empty_like(a)
+    a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
+    b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+    out[:, 0] = a1 * b2 - a2 * b1
+    out[:, 1] = a2 * b0 - a0 * b2
+    out[:, 2] = a0 * b1 - a1 * b0
+    return out
+
+
 def _tri_transforms_batch(a, b, c):
     """Batched 3x4 affine world->barycentric transforms.
 
@@ -60,7 +74,7 @@ def _tri_transforms_batch(a, b, c):
     t_count = len(a)
     e1 = b - a
     e2 = c - a
-    n = np.cross(e1, e2)
+    n = _cross(e1, e2)
     det = np.einsum("ij,ij->i", n, n)
     ok = (det > 0) & np.isfinite(det)
     safe_det = np.where(ok, det, 1.0)
@@ -68,8 +82,8 @@ def _tri_transforms_batch(a, b, c):
 
     # inverse of E = [e1 | e2 | n] via adjugate: rows of E^-1 are
     # (e2 x n, n x e1, e1 x e2) / det(E); det(E) = n.(e1 x e2) = |n|^2
-    m0 = np.cross(e2, n) / safe_det[:, None]
-    m1 = np.cross(n, e1) / safe_det[:, None]
+    m0 = _cross(e2, n) / safe_det[:, None]
+    m1 = _cross(n, e1) / safe_det[:, None]
 
     out = np.zeros((t_count, 12))
     out[:, 0:3] = m0
@@ -84,62 +98,86 @@ def _tri_transforms_batch(a, b, c):
     return out, ok
 
 
+def _tn(a_, b_, c_):
+    nn = _cross(b_ - a_, c_ - a_)
+    l = np.sqrt(np.einsum("ij,ij->i", nn, nn))[:, None]
+    return nn / np.where(l > 0, l, 1.0)
+
+
 def build_cluster_tables(prim_verts: np.ndarray, prim_instance=None):
     """prim_verts [Q,4,3] (Morton/BVH order) -> (tfm [C,12,128],
     nrm [C,4,128], bbox [C,8], n_clusters). Row 3 of the normal table
     carries the owning instance id (as f32) so the kernel can emit it
-    without a shading-time gather. Fully vectorized; padding prims never
-    hit."""
+    without a shading-time gather. Padding prims never hit.
+
+    Built in cluster-aligned chunks across a thread pool: the transform
+    solve is f64 (conditioning for thin triangles) but only ever chunk-
+    local, so there is no whole-scene f64 copy, and the f32 cast merges
+    into the output assignment. Kitchen (1.44M prims): ~40 s single-pass
+    f64 -> ~7 s chunked on a 4-core host."""
+    from concurrent.futures import ThreadPoolExecutor
+
     q = len(prim_verts)
     c = max(1, -(-q // PRIMS_PER_CLUSTER))
-    qp = c * PRIMS_PER_CLUSTER
 
-    pv = np.zeros((qp, 4, 3))
-    pv[:q] = prim_verts
-    p1, p2, p3, p4 = pv[:, 0], pv[:, 1], pv[:, 2], pv[:, 3]
+    pv32 = np.asarray(prim_verts, np.float32)
+    tfm = np.empty((c, 12, TRIS), np.float32)
+    nrm4 = np.zeros((c, 4, TRIS), np.float32)
+    bbox = np.empty((c, 8), np.float32)
 
-    tf0, _ = _tri_transforms_batch(p1, p2, p4)
-    tf1, _ = _tri_transforms_batch(p3, p4, p2)
-    tfm = np.empty((qp, 2, 12))
-    tfm[:, 0] = tf0
-    tfm[:, 1] = tf1
-    tfm = tfm.reshape(c, TRIS, 12)
+    if prim_instance is not None and q:
+        iid = np.zeros(c * PRIMS_PER_CLUSTER, np.float32)
+        iid[:q] = np.asarray(prim_instance, np.float32)
+        nrm4[:, 3, :] = np.repeat(iid, 2).reshape(c, TRIS)
 
-    def tn(a_, b_, c_):
-        nn = np.cross(b_ - a_, c_ - a_)
-        l = np.linalg.norm(nn, axis=1, keepdims=True)
-        return nn / np.where(l > 0, l, 1.0)
-
-    en = tn(p1, p2, p4) + tn(p3, p4, p2)
-    l = np.linalg.norm(en, axis=1, keepdims=True)
-    en = en / np.where(l > 0, l, 1.0)
-    nrm = np.repeat(en, 2, axis=0).reshape(c, TRIS, 3)
-
-    # per-cluster bboxes over REAL prims (padding excluded via +-inf).
-    # Fully-padded clusters get min=max=+3e38: the slab test then yields
+    # Fully-padded rows get min=max=+3e38: the slab test then yields
     # enter=max_axes(t) > exit=min_axes(t) for every non-diagonal ray, so
     # padding clusters genuinely never pass the cull (an inverted box like
     # min=+1/max=-1 is indistinguishable from [-1,1]^3 after the per-axis
     # min/max swap and wastes full sweeps on origin-centered scenes).
     NOHIT = np.float32(3e38)
-    ppad = pv.reshape(qp, 4, 3).copy()
-    ppad[q:] = np.inf
-    bbox = np.zeros((c, 8), np.float32)
-    bbox[:, 0:3] = np.nan_to_num(
-        ppad.reshape(c, -1, 3).min(axis=1), posinf=NOHIT
-    )
-    ppad[q:] = -np.inf
-    bbox[:, 3:6] = np.nan_to_num(
-        ppad.reshape(c, -1, 3).max(axis=1), neginf=NOHIT
-    )
 
-    tfm = np.swapaxes(tfm, 1, 2).astype(np.float32)  # [C, 12, 128]
-    nrm4 = np.zeros((c, 4, TRIS), np.float32)
-    nrm4[:, :3] = np.swapaxes(nrm, 1, 2)
-    if prim_instance is not None:
-        iid = np.zeros(qp, np.float32)
-        iid[:q] = np.asarray(prim_instance, np.float32)
-        nrm4[:, 3, :] = np.repeat(iid, 2).reshape(c, TRIS)
+    def fill(c_lo: int, c_hi: int) -> None:
+        p_lo = c_lo * PRIMS_PER_CLUSTER
+        p_hi = c_hi * PRIMS_PER_CLUSTER
+        nreal = max(0, min(q, p_hi) - p_lo)
+        n = p_hi - p_lo
+        pv = np.zeros((n, 4, 3))  # chunk-local f64
+        pv[:nreal] = pv32[p_lo : p_lo + nreal]
+        p1, p2, p3, p4 = pv[:, 0], pv[:, 1], pv[:, 2], pv[:, 3]
+
+        tf0, _ = _tri_transforms_batch(p1, p2, p4)
+        tf1, _ = _tri_transforms_batch(p3, p4, p2)
+        tf = np.empty((n, 2, 12))
+        tf[:, 0] = tf0
+        tf[:, 1] = tf1
+        tfm[c_lo:c_hi] = np.swapaxes(tf.reshape(c_hi - c_lo, TRIS, 12), 1, 2)
+
+        en = _tn(p1, p2, p4) + _tn(p3, p4, p2)
+        l = np.sqrt(np.einsum("ij,ij->i", en, en))[:, None]
+        en = en / np.where(l > 0, l, 1.0)
+        nrm4[c_lo:c_hi, :3] = np.swapaxes(
+            np.repeat(en, 2, axis=0).reshape(c_hi - c_lo, TRIS, 3), 1, 2
+        )
+
+        pv[nreal:] = np.inf
+        bbox[c_lo:c_hi, 0:3] = np.nan_to_num(
+            pv.reshape(c_hi - c_lo, -1, 3).min(axis=1), posinf=NOHIT
+        )
+        pv[nreal:] = -np.inf
+        bbox[c_lo:c_hi, 3:6] = np.nan_to_num(
+            pv.reshape(c_hi - c_lo, -1, 3).max(axis=1), neginf=NOHIT
+        )
+        bbox[c_lo:c_hi, 6:8] = 0.0
+
+    workers = min(4, max(1, (os.cpu_count() or 1)))
+    chunk = max(256, -(-c // (workers * 4)))
+    ranges = [(lo, min(lo + chunk, c)) for lo in range(0, c, chunk)]
+    if len(ranges) <= 1:
+        fill(0, c)
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(lambda r: fill(*r), ranges))
     return tfm, nrm4, bbox, c
 
 
@@ -567,13 +605,25 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
 
 
 def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
-                               interpret: bool = False):
+                               interpret: bool = False, cache_key: str = ""):
     """Large-scene cluster intersector -> Hit. Tables live in HBM and are
     pipeline-streamed one supercluster per grid step."""
+    from julia_raytracer_tpu.utils import diskcache
+
     q = len(prim_verts_np)
-    tfm, nrm, bbox, n_clusters = build_cluster_tables(
-        np.asarray(prim_verts_np, np.float64), prim_instance
-    )
+    cached = diskcache.load_arrays(cache_key, "clusters")
+    if cached is not None and int(cached["q"]) == q:
+        tfm, nrm, bbox = cached["tfm"], cached["nrm"], cached["bbox"]
+        n_clusters = int(cached["n_clusters"])
+    else:
+        tfm, nrm, bbox, n_clusters = build_cluster_tables(
+            prim_verts_np, prim_instance
+        )
+        if q > 200_000:  # only heavy scenes are worth the disk space
+            diskcache.save_arrays(
+                cache_key, "clusters",
+                dict(tfm=tfm, nrm=nrm, bbox=bbox, n_clusters=n_clusters, q=q),
+            )
     sbbox = build_super_bbox(bbox)
     n_super = len(sbbox)
     c_pad = n_super * SUPER

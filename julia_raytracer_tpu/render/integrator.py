@@ -91,17 +91,26 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu and config.n_prims > 0:
-        inst_np = np.asarray(dscene.prim_instance)
+        # host copies carried in the config avoid a device->host readback
+        # (~45 s over the axon tunnel for kitchen-size vert arrays)
+        verts_np = config.host_prim_verts
+        inst_np = config.host_prim_instance
+        if verts_np is None:
+            verts_np = np.asarray(dscene.prim_verts)
+        if inst_np is None:
+            inst_np = np.asarray(dscene.prim_instance)
         if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
             from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
 
-            return make_bruteforce_pallas(np.asarray(dscene.prim_verts), inst_np)
+            return make_bruteforce_pallas(np.asarray(verts_np), inst_np)
         from julia_raytracer_tpu.ops.pallas_cluster import make_cluster_intersect_hbm
 
         # the streamed kernel's per-row skipping beats the VMEM-resident
         # variant at render batch sizes (>= ~16k rays), and it scales to
         # kitchen-class scenes — one kernel covers everything non-tiny
-        return make_cluster_intersect_hbm(np.asarray(dscene.prim_verts), inst_np)
+        return make_cluster_intersect_hbm(
+            np.asarray(verts_np), inst_np, cache_key=config.cache_key
+        )
     return make_intersect(dscene, config)
 
 

@@ -89,7 +89,17 @@ class LightCounts:
 
 
 def build_lights(flat: FlatScene, order: np.ndarray) -> tuple[DeviceLights, LightCounts]:
-    """Build the light table from the flattened scene.
+    """Build the light table from the flattened scene (device arrays)."""
+    np_lights, counts = build_lights_np(flat, order)
+    return (
+        DeviceLights(**{k: jnp.asarray(v) for k, v in np_lights.items()}),
+        counts,
+    )
+
+
+def build_lights_np(flat: FlatScene, order: np.ndarray) -> tuple[dict, LightCounts]:
+    """Build the light table from the flattened scene, as host numpy
+    arrays (cacheable to disk without a device round-trip).
 
     `order` is the BVH primitive permutation; emitted prim indices refer
     to the *sorted* primitive arrays used by traversal.
@@ -179,26 +189,26 @@ def build_lights(flat: FlatScene, order: np.ndarray) -> tuple[DeviceLights, Ligh
         ) != 0
         elem_owner_area_np[:total_elems] = prim_light_area[all_prim_idx]
 
-    lights = DeviceLights(
-        inst_cdf=jnp.asarray(
+    lights = dict(
+        inst_cdf=(
             np.concatenate(inst_cdf_parts) if inst_cdf_parts else np.zeros(1, np.float32)
         ),
-        inst_cdf_offset=jnp.asarray(np.array(inst_offsets or [0], np.int32)),
-        inst_cdf_count=jnp.asarray(np.array(inst_counts or [0], np.int32)),
-        inst_prim=jnp.asarray(
+        inst_cdf_offset=np.array(inst_offsets or [0], np.int32),
+        inst_cdf_count=np.array(inst_counts or [0], np.int32),
+        inst_prim=(
             np.concatenate(inst_prim_parts) if inst_prim_parts else np.zeros(1, np.int32)
         ),
-        inst_area=jnp.asarray(np.array(inst_areas or [0], np.float32)),
-        env_id=jnp.asarray(np.array(env_ids or [0], np.int32)),
-        env_cdf=jnp.asarray(
+        inst_area=np.array(inst_areas or [0], np.float32),
+        env_id=np.array(env_ids or [0], np.int32),
+        env_cdf=(
             np.concatenate(env_cdf_parts) if env_cdf_parts else np.zeros(1, np.float32)
         ),
-        env_cdf_offset=jnp.asarray(np.array(env_offsets or [0], np.int32)),
-        env_cdf_count=jnp.asarray(np.array(env_counts or [0], np.int32)),
-        prim_light_area=jnp.asarray(prim_light_area),
-        elem_verts=jnp.asarray(elem_verts_np),
-        elem_is_tri=jnp.asarray(elem_is_tri_np),
-        elem_owner_area=jnp.asarray(elem_owner_area_np),
+        env_cdf_offset=np.array(env_offsets or [0], np.int32),
+        env_cdf_count=np.array(env_counts or [0], np.int32),
+        prim_light_area=prim_light_area,
+        elem_verts=elem_verts_np,
+        elem_is_tri=elem_is_tri_np,
+        elem_owner_area=elem_owner_area_np,
     )
     counts = LightCounts(
         n_instance=len(inst_areas),

@@ -143,10 +143,15 @@ class Renderer:
     """Owns the device scene + the compiled per-sample kernel."""
 
     def __init__(self, scene_data, params: Params):
+        from julia_raytracer_tpu.utils.diskcache import scene_cache_key
+
         self.params = params
         self.scene_data = scene_data
+        cache_key = scene_cache_key(
+            params.scene, "sah" if params.highqualitybvh else "mid"
+        )
         self.dscene, self.config = build_device_scene(
-            scene_data, highquality_bvh=params.highqualitybvh
+            scene_data, highquality_bvh=params.highqualitybvh, cache_key=cache_key
         )
         cam_id = max(find_camera(scene_data, params.camera), 0)
         self.camera = scene_data.cameras[cam_id]

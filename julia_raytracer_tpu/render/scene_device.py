@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from julia_raytracer_tpu.ops.bvh import FlatBVH, build_bvh, quad_bounds
-from julia_raytracer_tpu.render.lights import DeviceLights, LightCounts, build_lights
+from julia_raytracer_tpu.render.lights import (
+    DeviceLights, LightCounts, build_lights_np,
+)
 from julia_raytracer_tpu.scene.flatten import FlatScene, flatten_scene
 
 
@@ -102,6 +104,14 @@ class SceneConfig(NamedTuple):
     has_texcoords: bool = True
     has_colors: bool = True
     has_volumes: bool = True
+    # host-side (numpy) copies of the sorted primitive arrays, kept so
+    # build_intersector can build Pallas tables without reading the device
+    # arrays back (np.asarray on an axon-TPU array costs ~45 s for
+    # kitchen's 69 MB — the dominant term of the round-1 367 s host prep)
+    host_prim_verts: object = None
+    host_prim_instance: object = None
+    # filesystem key for cached preprocessing products (cluster tables)
+    cache_key: str = ""
 
 
 def _inst_mat_dense(g, m) -> np.ndarray:
@@ -132,31 +142,81 @@ def _inst_mat_dense(g, m) -> np.ndarray:
 
 
 def build_device_scene(
-    scene_data, highquality_bvh: bool = False
+    scene_data, highquality_bvh: bool = False, cache_key: str = ""
 ) -> tuple[DeviceScene, SceneConfig]:
     """Host SceneData -> (DeviceScene, SceneConfig). Flattens, builds the
     BVH, reorders primitives, and assembles the light table."""
+    from julia_raytracer_tpu.utils import diskcache
+
     flat = flatten_scene(scene_data)
     g = flat.geometry
-    bb_min, bb_max = quad_bounds(g.prim_verts)
-    tree: FlatBVH = build_bvh(bb_min, bb_max, sah=highquality_bvh)
-    order = tree.order
 
-    def sort(a):
-        return a[order] if len(order) else a
+    cached = diskcache.load_arrays(cache_key, "geom")
+    if cached is not None and int(cached["n_prims"]) == len(g.prim_verts):
+        # BVH + light tables + sorted primitive arrays straight from disk
+        host_prim_verts = cached["prim_verts"]
+        host_prim_instance = cached["prim_instance"]
+        sorted_vidx = cached["prim_vidx"]
+        sorted_flags = cached["prim_flags"]
+        nodes_np = cached["nodes"]
+        n_prims = int(cached["n_prims"])
+        root_is_leaf = bool(cached["root_is_leaf"])
+        lights = DeviceLights(
+            **{k: jnp.asarray(cached["L_" + k]) for k in DeviceLights._fields}
+        )
+        light_counts = LightCounts(
+            n_instance=int(cached["c_n_instance"]),
+            n_env=int(cached["c_n_env"]),
+            max_inst_elems=int(cached["c_max_inst_elems"]),
+            max_env_texels=int(cached["c_max_env_texels"]),
+            total_inst_elems=int(cached["c_total_inst_elems"]),
+        )
+    else:
+        bb_min, bb_max = quad_bounds(g.prim_verts)
+        tree: FlatBVH = build_bvh(bb_min, bb_max, sah=highquality_bvh)
+        order = tree.order
 
-    lights, light_counts = build_lights(flat, order)
+        def sort(a):
+            return a[order] if len(order) else a
+
+        lights_np, light_counts = build_lights_np(flat, order)
+        lights = DeviceLights(**{k: jnp.asarray(v) for k, v in lights_np.items()})
+        host_prim_verts = sort(g.prim_verts)
+        host_prim_instance = sort(g.prim_instance)
+        sorted_vidx = sort(g.prim_vidx)
+        sorted_flags = sort(g.prim_flags)
+        nodes_np = tree.nodes
+        n_prims = tree.n_prims
+        root_is_leaf = tree.root_is_leaf
+        if cache_key and n_prims > 200_000:  # heavy scenes only
+            save = dict(
+                prim_verts=host_prim_verts,
+                prim_instance=host_prim_instance,
+                prim_vidx=sorted_vidx,
+                prim_flags=sorted_flags,
+                nodes=nodes_np,
+                n_prims=n_prims,
+                root_is_leaf=root_is_leaf,
+                c_n_instance=light_counts.n_instance,
+                c_n_env=light_counts.n_env,
+                c_max_inst_elems=light_counts.max_inst_elems,
+                c_max_env_texels=light_counts.max_env_texels,
+                c_total_inst_elems=light_counts.total_inst_elems,
+            )
+            for k, v in lights_np.items():
+                save["L_" + k] = v
+            diskcache.save_arrays(cache_key, "geom", save)
 
     m = flat.materials
     t = flat.textures
     e = flat.environments
 
     dscene = DeviceScene(
-        prim_verts=jnp.asarray(sort(g.prim_verts)),
-        prim_vidx=jnp.asarray(sort(g.prim_vidx)),
-        prim_instance=jnp.asarray(sort(g.prim_instance)),
-        prim_flags=jnp.asarray(sort(g.prim_flags)),
-        nodes=jnp.asarray(tree.nodes),
+        prim_verts=jnp.asarray(host_prim_verts),
+        prim_vidx=jnp.asarray(sorted_vidx),
+        prim_instance=jnp.asarray(host_prim_instance),
+        prim_flags=jnp.asarray(sorted_flags),
+        nodes=jnp.asarray(nodes_np),
         vert_normals=jnp.asarray(g.vert_normals),
         vert_texcoords=jnp.asarray(g.vert_texcoords),
         vert_colors=jnp.asarray(g.vert_colors),
@@ -204,8 +264,8 @@ def build_device_scene(
     any_tex_alpha = bool((t.data[:, 3] < 1.0).any()) if len(t.data) else False
     present = tuple(sorted(set(int(x) for x in m.type))) if len(m.type) else ()
     config = SceneConfig(
-        n_prims=tree.n_prims,
-        root_is_leaf=tree.root_is_leaf,
+        n_prims=n_prims,
+        root_is_leaf=root_is_leaf,
         n_envs=len(e.emission),
         light_counts=light_counts,
         has_normal_maps=bool((m.normal_tex >= 0).any()) if len(m.normal_tex) else False,
@@ -219,5 +279,8 @@ def build_device_scene(
         has_texcoords=bool(flags_union & FLAG_HAS_TEXCOORDS),
         has_colors=bool(flags_union & FLAG_HAS_COLORS),
         has_volumes=bool(set(present) & {4, 5, 6}),  # refractive/subsurface/volumetric
+        host_prim_verts=host_prim_verts,
+        host_prim_instance=host_prim_instance,
+        cache_key=cache_key,
     )
     return dscene, config
