@@ -604,26 +604,28 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
     return kernel
 
 
-def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
-                               interpret: bool = False, cache_key: str = ""):
-    """Large-scene cluster intersector -> Hit. Tables live in HBM and are
-    pipeline-streamed one supercluster per grid step."""
+def _load_tables(prim_verts_np, prim_instance, cache_key):
     from julia_raytracer_tpu.utils import diskcache
 
     q = len(prim_verts_np)
     cached = diskcache.load_arrays(cache_key, "clusters")
     if cached is not None and int(cached["q"]) == q:
-        tfm, nrm, bbox = cached["tfm"], cached["nrm"], cached["bbox"]
-        n_clusters = int(cached["n_clusters"])
-    else:
-        tfm, nrm, bbox, n_clusters = build_cluster_tables(
-            prim_verts_np, prim_instance
+        return cached["tfm"], cached["nrm"], cached["bbox"], int(cached["n_clusters"])
+    tfm, nrm, bbox, n_clusters = build_cluster_tables(prim_verts_np, prim_instance)
+    if q > 200_000:  # only heavy scenes are worth the disk space
+        diskcache.save_arrays(
+            cache_key, "clusters",
+            dict(tfm=tfm, nrm=nrm, bbox=bbox, n_clusters=n_clusters, q=q),
         )
-        if q > 200_000:  # only heavy scenes are worth the disk space
-            diskcache.save_arrays(
-                cache_key, "clusters",
-                dict(tfm=tfm, nrm=nrm, bbox=bbox, n_clusters=n_clusters, q=q),
-            )
+    return tfm, nrm, bbox, n_clusters
+
+
+def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
+                               interpret: bool = False, cache_key: str = ""):
+    """Large-scene cluster intersector -> Hit. Tables live in HBM and are
+    pipeline-streamed one supercluster per grid step."""
+    q = len(prim_verts_np)
+    tfm, nrm, bbox, n_clusters = _load_tables(prim_verts_np, prim_instance, cache_key)
     sbbox = build_super_bbox(bbox)
     n_super = len(sbbox)
     c_pad = n_super * SUPER
@@ -703,6 +705,349 @@ def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
             ],
             interpret=interpret,
         )(*args, bbox_d, sbbox_d, tfm_d, nrm_d)
+
+        unpack = lambda x: x.reshape(-1)[:n]
+        prim, u, v, t = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]), unpack(outs[3]))
+        pos = jnp.stack([unpack(outs[4]), unpack(outs[5]), unpack(outs[6])], axis=-1)
+        gn = jnp.stack([unpack(outs[7]), unpack(outs[8]), unpack(outs[9])], axis=-1)
+        hit = prim >= 0
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, unpack(outs[10]))
+
+    return intersect
+
+
+# ---------------------------------------------------------------------------
+# Work-list streamed variant: per-block supercluster queues (heavy scenes)
+# ---------------------------------------------------------------------------
+#
+# The plain streamed kernel's grid is (ray_blocks, ALL superclusters):
+# every block pays one DMA + cull step per supercluster even though a
+# coherent 1024-ray block intersects only a handful of kitchen's ~350.
+# Here an XLA pre-pass slab-tests each block's rays against the
+# supercluster bboxes and builds a per-block work list (live supercluster
+# ids ascending, tail padded by repeating the last id). The list rides in
+# as a scalar-prefetch operand; BlockSpec index_maps read it, so
+#   - padded steps map to the same table block as their predecessor and
+#     the Mosaic pipeline SKIPS the DMA entirely, and
+#   - the kernel skips compute via `work[i,s] > work[i,s-1]` (live ids
+#     are strictly ascending; only padding repeats).
+# Occupancy then scales with the per-block visible set, not with scene
+# size — the hierarchy level the round-1 streamed kernel lacked.
+
+WORKLIST_BLOCKS = 128  # ray blocks per pallas_call (bounds SMEM work list)
+
+
+def _make_kernel_worklist(n_super: int, n_clusters: int, q: int):
+    S = n_super
+
+    def kernel(work_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tmin_ref, tmax_ref, bbox_ref, tfm_ref, nrm_ref,
+               prim_ref, u_ref, v_ref, t_ref, px_ref, py_ref, pz_ref,
+               nx_ref, ny_ref, nz_ref, in_ref,
+               cmask_ref,
+               bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+               bin_ref):
+        i_id = pl.program_id(0)
+        s_id = pl.program_id(1)
+        sc_id = work_ref[i_id, s_id]
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # [8, 128]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tmin, tmax = tmin_ref[:], tmax_ref[:]
+
+        inv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
+        idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
+
+        def cull(bm):
+            """bm [K, 8] -> per-(cluster, row) hit mask [K, ROWS] i32.
+
+            Culls against the CURRENT best hit (bt_ref), not the input
+            tmax: the work list visits superclusters front-to-back, so
+            once near geometry is hit, farther superclusters' clusters
+            fail `enter <= min(exit, best_t)` and the sweep is skipped —
+            ordered-traversal early termination, per row."""
+            bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
+            bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
+            cols = []
+            for r in range(ROWS):
+                enter = None
+                exit_ = None
+                for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
+                    t0 = (bmin[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                    t1 = (bmax[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                    lo = jnp.minimum(t0, t1)
+                    hi = jnp.maximum(t0, t1)
+                    enter = lo if enter is None else jnp.maximum(enter, lo)
+                    exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
+                enter = jnp.maximum(enter, tmin[r:r + 1, :])
+                best = jnp.minimum(tmax[r:r + 1, :], bt_ref[r:r + 1, :])
+                exit_ = jnp.minimum(exit_, best)
+                row_hit = enter <= exit_ * jnp.float32(1.00000024)
+                cols.append(jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32))
+            return jnp.concatenate(cols, axis=1)  # [K, ROWS]
+
+        @pl.when(s_id == 0)
+        def _():
+            bt_ref[:, :] = tmax
+            btri_ref[:, :] = jnp.full((ROWS, LANES), -1, jnp.int32)
+            bu_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bv_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bnx_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bny_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bnz_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bin_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+
+        tri_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, LANES), 0)
+
+        def process_cluster(ci):
+            T = tfm_ref[ci]  # [12, 128]
+            nrm = nrm_ref[ci]  # [4, 128]
+            A = [
+                jnp.concatenate(
+                    [T[3 * r_: 3 * r_ + 3, :], T[9 + r_: 10 + r_, :]], axis=0
+                )
+                for r_ in range(3)
+            ]
+            for r in range(ROWS):
+              @pl.when(cmask_ref[ci, r] != 0)
+              def _row(r=r):
+                o_h = jnp.concatenate(
+                    [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
+                     jnp.ones((1, LANES), jnp.float32)], axis=0,
+                )
+                d_h = jnp.concatenate(
+                    [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
+                     jnp.zeros((1, LANES), jnp.float32)], axis=0,
+                )
+                dot = lambda a_, b_: jax.lax.dot_general(
+                    a_, b_, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                opx, opy, opz = dot(A[0], o_h), dot(A[1], o_h), dot(A[2], o_h)
+                dpx, dpy, dpz = dot(A[0], d_h), dot(A[1], d_h), dot(A[2], d_h)
+
+                bt_row = bt_ref[r:r + 1, :]
+                tt = -opz / jnp.where(dpz == 0.0, 1e-30, dpz)
+                uu = opx + tt * dpx
+                vv = opy + tt * dpy
+                hit = (
+                    (dpz != 0.0)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt >= tmin[r:r + 1, :]) & (tt < bt_row)
+                )
+                tt = jnp.where(hit, tt, 3.4028235e38)
+                min_t = jnp.min(tt, axis=0, keepdims=True)
+                arg = jnp.argmin(tt, axis=0)[None, :]
+                upd = min_t < bt_row
+                onehot = (tri_ids == arg).astype(jnp.float32)
+                sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
+                u_sel = sel(uu)
+                v_sel = sel(vv)
+                ndot = lambda k: jax.lax.dot_general(
+                    nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                nx_sel = ndot(0)
+                ny_sel = ndot(1)
+                nz_sel = ndot(2)
+                inst_sel = ndot(3)  # instance id rides the normal table
+
+                odd = (arg % 2) == 1
+                u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
+                v_sel = jnp.where(odd, 1.0 - v_sel, v_sel)
+
+                rsel = pl.ds(r, 1)
+                bu_ref[rsel, :] = jnp.where(upd, u_sel, bu_ref[rsel, :])
+                bv_ref[rsel, :] = jnp.where(upd, v_sel, bv_ref[rsel, :])
+                bnx_ref[rsel, :] = jnp.where(upd, nx_sel, bnx_ref[rsel, :])
+                bny_ref[rsel, :] = jnp.where(upd, ny_sel, bny_ref[rsel, :])
+                bnz_ref[rsel, :] = jnp.where(upd, nz_sel, bnz_ref[rsel, :])
+                bin_ref[rsel, :] = jnp.where(upd, inst_sel, bin_ref[rsel, :])
+                btri_ref[rsel, :] = jnp.where(
+                    upd, (sc_id * SUPER + ci) * TRIS + arg, btri_ref[rsel, :]
+                )
+                bt_ref[rsel, :] = jnp.where(upd, min_t, bt_ref[rsel, :])
+
+        # live iff first step or a NEW id (each live id appears once in
+        # the front-to-back list; only the padded tail repeats)
+        prev = work_ref[i_id, jnp.maximum(s_id - 1, 0)]
+        live = (s_id == 0) | (sc_id != prev)
+
+        @pl.when(live)
+        def _():
+            cmask_ref[:, :] = cull(bbox_ref[0])
+
+            def inner(ci, _):
+                any_row = jnp.zeros((), jnp.int32)
+                for rr in range(ROWS):
+                    any_row = any_row | cmask_ref[ci, rr]
+
+                @pl.when(any_row != 0)
+                def _():
+                    process_cluster(ci)
+                return 0
+
+            jax.lax.fori_loop(0, SUPER, inner, 0)
+
+        @pl.when(s_id == S - 1)
+        def _():
+            best_tri = btri_ref[:]
+            best_t = bt_ref[:]
+            prim = jnp.where(best_tri >= 0, best_tri // 2, -1)
+            prim = jnp.where(prim >= q, -1, prim)
+            hit = prim >= 0
+            t_out = jnp.where(hit, best_t, tmax)
+            prim_ref[:, :] = prim
+            u_ref[:, :] = bu_ref[:]
+            v_ref[:, :] = bv_ref[:]
+            t_ref[:, :] = t_out
+            px_ref[:, :] = ox + t_out * dx
+            py_ref[:, :] = oy + t_out * dy
+            pz_ref[:, :] = oz + t_out * dz
+            nx_ref[:, :] = bnx_ref[:]
+            ny_ref[:, :] = bny_ref[:]
+            nz_ref[:, :] = bnz_ref[:]
+            in_ref[:, :] = (bin_ref[:] + 0.5).astype(jnp.int32)
+
+    return kernel
+
+
+def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=None,
+                                    interpret: bool = False, cache_key: str = ""):
+    """Heavy-scene cluster intersector with per-block supercluster work
+    lists (see section comment). Drop-in replacement for
+    make_cluster_intersect_hbm."""
+    q = len(prim_verts_np)
+    tfm, nrm, bbox, n_clusters = _load_tables(prim_verts_np, prim_instance, cache_key)
+    sbbox = build_super_bbox(bbox)
+    n_super = len(sbbox)
+    c_pad = n_super * SUPER
+    if c_pad > n_clusters:
+        padb = np.zeros((c_pad - n_clusters, 8), np.float32)
+        padb[:, 0:3] = 3e38  # never-hit sentinel (see build_cluster_tables)
+        padb[:, 3:6] = 3e38
+        bbox = np.concatenate([bbox, padb], axis=0)
+        padt = np.zeros((c_pad - n_clusters,) + tfm.shape[1:], np.float32)
+        padt[:, 11, :] = 1.0  # never-hit transforms
+        tfm = np.concatenate([tfm, padt], axis=0)
+        nrm = np.concatenate(
+            [nrm, np.zeros((c_pad - n_clusters,) + nrm.shape[1:], np.float32)], axis=0
+        )
+    tfm_d = jnp.asarray(tfm)
+    nrm_d = jnp.asarray(nrm)
+    bbox_d = jnp.asarray(bbox.reshape(n_super, SUPER, 8))
+    sbbox_d = jnp.asarray(sbbox)
+    kernel = _make_kernel_worklist(n_super, n_clusters, q)
+    S = n_super
+
+    vec_spec = pl.BlockSpec(
+        (ROWS, LANES), lambda i, s, w: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def chunk_call(args):
+        """One pallas_call over <= WORKLIST_BLOCKS ray blocks.
+        args: 8 arrays of [rows, LANES] (rows = blocks*ROWS)."""
+        rows = args[0].shape[0]
+        nblocks = rows // ROWS
+
+        # XLA pre-cull: per-ray slab test against every supercluster bbox,
+        # reduced to a per-block any-mask. Elementwise tree fuses; only the
+        # [rays, S] predicate materializes.
+        o = jnp.stack([args[0], args[1], args[2]], axis=-1).reshape(-1, 1, 3)
+        d = jnp.stack([args[3], args[4], args[5]], axis=-1).reshape(-1, 1, 3)
+        tmin_f = args[6].reshape(-1, 1)
+        tmax_f = args[7].reshape(-1, 1)
+        di = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+        t0 = (sbbox_d[None, :, 0:3] - o) * di
+        t1 = (sbbox_d[None, :, 3:6] - o) * di
+        enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        enter = jnp.maximum(enter, tmin_f)
+        exit_ = jnp.minimum(exit_, tmax_f)
+        ray_hit = enter <= exit_ * jnp.float32(1.00000024)  # [rays, S]
+        blk_hit = ray_hit.reshape(nblocks, BLOCK_RAYS, S).any(axis=1)
+
+        # work list: live ids FRONT-TO-BACK (by the block's nearest ray
+        # entry), dead last, tail repeating the last live id so padded
+        # steps re-map to the same table block (no DMA) and fail the
+        # new-id liveness check in the kernel
+        enter_m = jnp.where(ray_hit, jnp.maximum(enter, 0.0), jnp.float32(jnp.inf))
+        blk_enter = enter_m.reshape(nblocks, BLOCK_RAYS, S).min(axis=1)
+        sc_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
+        order = jnp.argsort(
+            jnp.where(blk_hit, blk_enter, jnp.float32(jnp.inf)), axis=1
+        ).astype(jnp.int32)
+        cnt = blk_hit.sum(axis=1).astype(jnp.int32)
+        j = jnp.minimum(sc_ids, jnp.maximum(cnt - 1, 0)[:, None])
+        work = jnp.take_along_axis(order, j, axis=1)  # [nblocks, S]
+
+        shape_f = jax.ShapeDtypeStruct(args[0].shape, jnp.float32)
+        shape_i = jax.ShapeDtypeStruct(args[0].shape, jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks, S),
+            in_specs=[vec_spec] * 8 + [
+                pl.BlockSpec(
+                    (1, SUPER, 8), lambda i, s, w: (w[i, s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (SUPER, 12, TRIS), lambda i, s, w: (w[i, s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (SUPER, 4, TRIS), lambda i, s, w: (w[i, s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[vec_spec] * 11,
+            scratch_shapes=[
+                pltpu.VMEM((SUPER, ROWS), jnp.int32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.int32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[shape_i] + [shape_f] * 9 + [shape_i],
+            interpret=interpret,
+        )(work, *args, bbox_d, tfm_d, nrm_d)
+
+    @jax.jit
+    def intersect(ro, rd, tmin, tmax):
+        n = ro.shape[0]
+        n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+        pad = n_pad - n
+
+        def prep(x):
+            return jnp.pad(x, ((0, pad),)).reshape(-1, LANES)
+
+        args = [
+            prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+            prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+            prep(tmin), prep(tmax),
+        ]
+        rows_total = args[0].shape[0]
+        rows_chunk = WORKLIST_BLOCKS * ROWS
+        outs_parts = []
+        for lo in range(0, rows_total, rows_chunk):
+            hi = min(lo + rows_chunk, rows_total)
+            outs_parts.append(chunk_call([a[lo:hi] for a in args]))
+        outs = [
+            jnp.concatenate([p[k] for p in outs_parts], axis=0)
+            if len(outs_parts) > 1 else outs_parts[0][k]
+            for k in range(11)
+        ]
 
         unpack = lambda x: x.reshape(-1)[:n]
         prim, u, v, t = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]), unpack(outs[3]))

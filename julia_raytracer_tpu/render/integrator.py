@@ -103,12 +103,14 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
             from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
 
             return make_bruteforce_pallas(np.asarray(verts_np), inst_np)
-        from julia_raytracer_tpu.ops.pallas_cluster import make_cluster_intersect_hbm
+        from julia_raytracer_tpu.ops.pallas_cluster import (
+            make_cluster_intersect_worklist,
+        )
 
-        # the streamed kernel's per-row skipping beats the VMEM-resident
-        # variant at render batch sizes (>= ~16k rays), and it scales to
-        # kitchen-class scenes — one kernel covers everything non-tiny
-        return make_cluster_intersect_hbm(
+        # per-block supercluster work lists + front-to-back early
+        # termination: occupancy scales with each block's visible set,
+        # not scene size — one kernel covers everything non-tiny
+        return make_cluster_intersect_worklist(
             np.asarray(verts_np), inst_np, cache_key=config.cache_key
         )
     return make_intersect(dscene, config)

@@ -12,6 +12,7 @@ from julia_raytracer_tpu.ops.pallas_cluster import (
     build_super_bbox,
     make_cluster_intersect,
     make_cluster_intersect_hbm,
+    make_cluster_intersect_worklist,
 )
 from julia_raytracer_tpu.ops.traversal import intersect_bruteforce
 from julia_raytracer_tpu.render.scene_device import build_device_scene
@@ -64,6 +65,32 @@ def test_cluster_hbm_kernel_interpret(box_setup):
     dscene, ro, rd, tmin, tmax, ref = box_setup
     clu = make_cluster_intersect_hbm(np.asarray(dscene.prim_verts), interpret=True)
     check(ref, clu(ro, rd, tmin, tmax))
+
+
+def test_cluster_worklist_kernel_interpret(box_setup):
+    dscene, ro, rd, tmin, tmax, ref = box_setup
+    clu = make_cluster_intersect_worklist(
+        np.asarray(dscene.prim_verts), interpret=True
+    )
+    check(ref, clu(ro, rd, tmin, tmax))
+
+
+def test_cluster_worklist_short_rays(box_setup):
+    """Finite tmax must cull identically in both kernels (the worklist
+    pre-cull and the in-kernel best-t cull both see tmax)."""
+    dscene, ro, rd, tmin, _, _ = box_setup
+    clu = make_cluster_intersect_worklist(
+        np.asarray(dscene.prim_verts), interpret=True
+    )
+    # tmax=4.3: near wall reachable for most rays, far corners not
+    tmax = jnp.full(ro.shape[0], 4.3)
+    ref = intersect_bruteforce(dscene.prim_verts, ro, rd, tmin, tmax)
+    assert 0 < int(np.asarray(ref.hit).sum()) < ro.shape[0]
+    check(ref, clu(ro, rd, tmin, tmax))
+    # tmax shorter than any geometry: all lanes must miss
+    tmax0 = jnp.full(ro.shape[0], 2.0)
+    got = clu(ro, rd, tmin, tmax0)
+    assert not bool(np.asarray(got.hit).any())
 
 
 def test_cluster_tables_shapes():

@@ -43,8 +43,12 @@ def run(name: str) -> tuple[float, float, bool]:
     from julia_raytracer_tpu.utils.color import rgb_to_srgb
 
     res, spp, bounces, tol = SCENES[name]
-    scene = load_scene(f"/root/reference/scenes/{name}/{name}.json")
-    params = Params(resolution=res, samples=spp, batch=spp, bounces=bounces, sampler="path")
+    scene_path = f"/root/reference/scenes/{name}/{name}.json"
+    scene = load_scene(scene_path)
+    params = Params(
+        scene=scene_path, resolution=res, samples=spp, batch=spp,
+        bounces=bounces, sampler="path",
+    )
     r = Renderer(scene, params)
     state = make_trace_state(scene, params)
     t0 = time.time()
