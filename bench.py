@@ -1,12 +1,14 @@
 """Headline benchmark: cornellbox path tracing throughput (Mpaths/s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline compares
-against the rays/s floor recorded from the reference's own CPU "standard
-run" proxy — BASELINE.json defines the metric as Mpaths/s on cornellbox
-path tracing; vs_baseline is reported as a ratio vs 1.0 Mpaths/s (a
-generous estimate of the reference's multithreaded CPU throughput on
-this scene; see BASELINE.md).
+
+vs_baseline framing (honest-labeling note): the reference publishes NO
+throughput numbers anywhere (BASELINE.md "Published reference numbers:
+none"), and Julia is not installed in this image, so the reference
+cannot be measured here. The denominator is therefore an ESTIMATE —
+1.0 Mpaths/s for a multithreaded CPU Julia tracer on cornellbox — and
+the JSON says so via baseline_kind/baseline_note. Per-scene wall-times
+for the heavy tier are recorded separately by tools/bench_heavy.py.
 """
 
 from __future__ import annotations
@@ -65,6 +67,12 @@ def main() -> None:
                 "value": round(mpaths, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths / BASELINE_MPATHS, 3),
+                "baseline_kind": "estimate",
+                "baseline_note": (
+                    "denominator 1.0 Mpaths/s is an ESTIMATE of the "
+                    "reference's CPU throughput; it publishes no numbers "
+                    "and Julia is unavailable to measure it"
+                ),
             }
         )
     )

@@ -716,56 +716,75 @@ def make_cluster_intersect_hbm(prim_verts_np: np.ndarray, prim_instance=None,
     return intersect
 
 
+
+
 # ---------------------------------------------------------------------------
 # Work-list streamed variant: per-block supercluster queues (heavy scenes)
 # ---------------------------------------------------------------------------
 #
 # The plain streamed kernel's grid is (ray_blocks, ALL superclusters):
-# every block pays one DMA + cull step per supercluster even though a
-# coherent 1024-ray block intersects only a handful of kitchen's ~350.
+# every block pays one step per supercluster even though a coherent
+# 1024-ray block intersects only a handful of kitchen's superclusters.
 # Here an XLA pre-pass slab-tests each block's rays against the
-# supercluster bboxes and builds a per-block work list (live supercluster
-# ids ascending, tail padded by repeating the last id). The list rides in
-# as a scalar-prefetch operand; BlockSpec index_maps read it, so
+# supercluster bboxes and builds a per-block work list (live ids
+# FRONT-TO-BACK by nearest entry distance, tail padded by repeating the
+# last id). The list rides in as a scalar-prefetch operand; BlockSpec
+# index_maps read it, so
 #   - padded steps map to the same table block as their predecessor and
-#     the Mosaic pipeline SKIPS the DMA entirely, and
-#   - the kernel skips compute via `work[i,s] > work[i,s-1]` (live ids
-#     are strictly ascending; only padding repeats).
+#     the Mosaic pipeline SKIPS the DMA entirely,
+#   - the kernel skips compute via `work[i,s] != work[i,s-1]`, and
+#   - in-kernel cluster culls test against the running best-t, giving
+#     ordered-traversal early termination.
 # Occupancy then scales with the per-block visible set, not with scene
 # size — the hierarchy level the round-1 streamed kernel lacked.
+#
+# Mosaic pays per-grid-step bookkeeping PER OPERAND (~measured 0.8 us/step
+# at 19 operands = 75 ms of pure dead-step overhead for kitchen at 262k
+# rays), so the 8 ray vectors are packed into ONE input, tfm+nrm into one
+# table, and the 11 outputs into one f32 + one i32 array; WL_SUPER = 128
+# clusters per supercluster halves the step count again.
 
-WORKLIST_BLOCKS = 128  # ray blocks per pallas_call (bounds SMEM work list)
+WL_SUPER = 128  # clusters per supercluster in the worklist kernel
+# ray blocks per pallas_call: bounds the scalar-prefetch work list
+# (blocks * n_super * 4 bytes must stay comfortably inside SMEM)
+WORKLIST_BLOCKS = 256
 
 
-def _make_kernel_worklist(n_super: int, n_clusters: int, q: int):
+def _wl_super_bbox(bbox: np.ndarray, sup: int) -> np.ndarray:
+    c = len(bbox)
+    s = -(-c // sup)
+    pad = s * sup - c
+    bb = np.concatenate([bbox, np.tile(bbox[-1:], (pad, 1))], axis=0) if pad else bbox
+    bb = bb.reshape(s, sup, 8)
+    out = np.zeros((s, 8), np.float32)
+    out[:, 0:3] = bb[:, :, 0:3].min(axis=1)
+    out[:, 3:6] = bb[:, :, 3:6].max(axis=1)
+    return out
+
+
+def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
     S = n_super
 
-    def kernel(work_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tmin_ref, tmax_ref, bbox_ref, tfm_ref, nrm_ref,
-               prim_ref, u_ref, v_ref, t_ref, px_ref, py_ref, pz_ref,
-               nx_ref, ny_ref, nz_ref, in_ref,
-               cmask_ref,
+    def kernel(work_ref, rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref,
+               cmask_ref, cany_ref,
                bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
                bin_ref):
         i_id = pl.program_id(0)
         s_id = pl.program_id(1)
         sc_id = work_ref[i_id, s_id]
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # [8, 128]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        tmin, tmax = tmin_ref[:], tmax_ref[:]
+        R = ROWS
+        ox, oy, oz = rays_ref[0:R], rays_ref[R:2*R], rays_ref[2*R:3*R]
+        dx, dy, dz = rays_ref[3*R:4*R], rays_ref[4*R:5*R], rays_ref[5*R:6*R]
+        tmin, tmax = rays_ref[6*R:7*R], rays_ref[7*R:8*R]
 
         inv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
         idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
 
         def cull(bm):
-            """bm [K, 8] -> per-(cluster, row) hit mask [K, ROWS] i32.
-
-            Culls against the CURRENT best hit (bt_ref), not the input
-            tmax: the work list visits superclusters front-to-back, so
-            once near geometry is hit, farther superclusters' clusters
-            fail `enter <= min(exit, best_t)` and the sweep is skipped —
-            ordered-traversal early termination, per row."""
+            """bm [K, 8] -> per-(cluster, row) hit mask [K, ROWS] i32,
+            culled against the CURRENT best hit: the work list visits
+            superclusters front-to-back, so once near geometry is hit,
+            farther clusters fail `enter <= min(exit, best_t)`."""
             bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
             bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
             cols = []
@@ -800,8 +819,8 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int):
         tri_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, LANES), 0)
 
         def process_cluster(ci):
-            T = tfm_ref[ci]  # [12, 128]
-            nrm = nrm_ref[ci]  # [4, 128]
+            T = tab_ref[0, ci, 0:12]  # [12, 128]
+            nrm = tab_ref[0, ci, 12:16]  # [4, 128]
             A = [
                 jnp.concatenate(
                     [T[3 * r_: 3 * r_ + 3, :], T[9 + r_: 10 + r_, :]], axis=0
@@ -867,7 +886,7 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int):
                 bnz_ref[rsel, :] = jnp.where(upd, nz_sel, bnz_ref[rsel, :])
                 bin_ref[rsel, :] = jnp.where(upd, inst_sel, bin_ref[rsel, :])
                 btri_ref[rsel, :] = jnp.where(
-                    upd, (sc_id * SUPER + ci) * TRIS + arg, btri_ref[rsel, :]
+                    upd, (sc_id * sup + ci) * TRIS + arg, btri_ref[rsel, :]
                 )
                 bt_ref[rsel, :] = jnp.where(upd, min_t, bt_ref[rsel, :])
 
@@ -878,20 +897,23 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int):
 
         @pl.when(live)
         def _():
-            cmask_ref[:, :] = cull(bbox_ref[0])
+            cm = cull(bbox_ref[0])
+            cmask_ref[:, :] = cm
+            # vectorized any-row reduction: the serial cluster scan then
+            # reads ONE scalar per cluster instead of ROWS (scalar VMEM
+            # reads at ~18 ns each dominated this loop: 8x fewer = ~35 ms
+            # saved per 262k-ray dispatch on kitchen)
+            cany_ref[:, :] = jnp.sum(cm, axis=1, keepdims=True)
 
             def inner(ci, _):
-                any_row = jnp.zeros((), jnp.int32)
-                for rr in range(ROWS):
-                    any_row = any_row | cmask_ref[ci, rr]
-
-                @pl.when(any_row != 0)
+                @pl.when(cany_ref[ci, 0] != 0)
                 def _():
                     process_cluster(ci)
                 return 0
 
-            jax.lax.fori_loop(0, SUPER, inner, 0)
+            jax.lax.fori_loop(0, sup, inner, 0)
 
+        # last step: emit the block's packed results
         @pl.when(s_id == S - 1)
         def _():
             best_tri = btri_ref[:]
@@ -900,31 +922,32 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int):
             prim = jnp.where(prim >= q, -1, prim)
             hit = prim >= 0
             t_out = jnp.where(hit, best_t, tmax)
-            prim_ref[:, :] = prim
-            u_ref[:, :] = bu_ref[:]
-            v_ref[:, :] = bv_ref[:]
-            t_ref[:, :] = t_out
-            px_ref[:, :] = ox + t_out * dx
-            py_ref[:, :] = oy + t_out * dy
-            pz_ref[:, :] = oz + t_out * dz
-            nx_ref[:, :] = bnx_ref[:]
-            ny_ref[:, :] = bny_ref[:]
-            nz_ref[:, :] = bnz_ref[:]
-            in_ref[:, :] = (bin_ref[:] + 0.5).astype(jnp.int32)
+            outi_ref[0:R, :] = prim
+            outi_ref[R:2*R, :] = (bin_ref[:] + 0.5).astype(jnp.int32)
+            outf_ref[0:R, :] = bu_ref[:]
+            outf_ref[R:2*R, :] = bv_ref[:]
+            outf_ref[2*R:3*R, :] = t_out
+            outf_ref[3*R:4*R, :] = ox + t_out * dx
+            outf_ref[4*R:5*R, :] = oy + t_out * dy
+            outf_ref[5*R:6*R, :] = oz + t_out * dz
+            outf_ref[6*R:7*R, :] = bnx_ref[:]
+            outf_ref[7*R:8*R, :] = bny_ref[:]
+            outf_ref[8*R:9*R, :] = bnz_ref[:]
 
     return kernel
 
 
 def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=None,
-                                    interpret: bool = False, cache_key: str = ""):
+                                    interpret: bool = False, cache_key: str = "",
+                                    sup: int = WL_SUPER):
     """Heavy-scene cluster intersector with per-block supercluster work
     lists (see section comment). Drop-in replacement for
     make_cluster_intersect_hbm."""
     q = len(prim_verts_np)
     tfm, nrm, bbox, n_clusters = _load_tables(prim_verts_np, prim_instance, cache_key)
-    sbbox = build_super_bbox(bbox)
+    sbbox = _wl_super_bbox(bbox, sup)
     n_super = len(sbbox)
-    c_pad = n_super * SUPER
+    c_pad = n_super * sup
     if c_pad > n_clusters:
         padb = np.zeros((c_pad - n_clusters, 8), np.float32)
         padb[:, 0:3] = 3e38  # never-hit sentinel (see build_cluster_tables)
@@ -936,44 +959,78 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         nrm = np.concatenate(
             [nrm, np.zeros((c_pad - n_clusters,) + nrm.shape[1:], np.float32)], axis=0
         )
-    tfm_d = jnp.asarray(tfm)
-    nrm_d = jnp.asarray(nrm)
-    bbox_d = jnp.asarray(bbox.reshape(n_super, SUPER, 8))
+    # one packed table: [S, sup, 16, TRIS] = tfm rows 0-11, normals 12-15
+    tab = np.concatenate(
+        [tfm.reshape(n_super, sup, 12, TRIS), nrm.reshape(n_super, sup, 4, TRIS)],
+        axis=2,
+    )
+    tab_d = jnp.asarray(tab)
+    bbox_d = jnp.asarray(bbox.reshape(n_super, sup, 8))
     sbbox_d = jnp.asarray(sbbox)
-    kernel = _make_kernel_worklist(n_super, n_clusters, q)
+    kernel = _make_kernel_worklist(n_super, n_clusters, q, sup)
     S = n_super
 
-    vec_spec = pl.BlockSpec(
-        (ROWS, LANES), lambda i, s, w: (i, 0), memory_space=pltpu.VMEM
-    )
+    def chunk_call(rays_packed, sub_blocks, work):
+        """One pallas_call over sub_blocks ray blocks.
+        rays_packed: [sub_blocks*8*ROWS, LANES]; work: [sub_blocks, S]."""
+        shape_f = jax.ShapeDtypeStruct((sub_blocks * 9 * ROWS, LANES), jnp.float32)
+        shape_i = jax.ShapeDtypeStruct((sub_blocks * 2 * ROWS, LANES), jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(sub_blocks, S),
+            in_specs=[
+                pl.BlockSpec(
+                    (8 * ROWS, LANES), lambda i, s, w: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, sup, 8), lambda i, s, w: (w[i, s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, sup, 16, TRIS), lambda i, s, w: (w[i, s], 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (9 * ROWS, LANES), lambda i, s, w: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2 * ROWS, LANES), lambda i, s, w: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sup, ROWS), jnp.int32),
+                pltpu.VMEM((sup, 1), jnp.int32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.int32),
+            ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[shape_f, shape_i],
+            interpret=interpret,
+        )(work, rays_packed, bbox_d, tab_d)
 
-    def chunk_call(args):
-        """One pallas_call over <= WORKLIST_BLOCKS ray blocks.
-        args: 8 arrays of [rows, LANES] (rows = blocks*ROWS)."""
-        rows = args[0].shape[0]
-        nblocks = rows // ROWS
-
-        # XLA pre-cull: per-ray slab test against every supercluster bbox,
-        # reduced to a per-block any-mask. Elementwise tree fuses; only the
-        # [rays, S] predicate materializes.
-        o = jnp.stack([args[0], args[1], args[2]], axis=-1).reshape(-1, 1, 3)
-        d = jnp.stack([args[3], args[4], args[5]], axis=-1).reshape(-1, 1, 3)
-        tmin_f = args[6].reshape(-1, 1)
-        tmax_f = args[7].reshape(-1, 1)
+    def precull(ro_c, rd_c, tmin_c, tmax_c, nblocks):
+        """[rays] component arrays -> front-to-back work list [nblocks, S].
+        The elementwise tree fuses; only the [rays, S] predicate
+        materializes."""
+        o = jnp.stack(ro_c, axis=-1).reshape(-1, 1, 3)
+        d = jnp.stack(rd_c, axis=-1).reshape(-1, 1, 3)
         di = 1.0 / jnp.where(d == 0.0, 1e-30, d)
         t0 = (sbbox_d[None, :, 0:3] - o) * di
         t1 = (sbbox_d[None, :, 3:6] - o) * di
         enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
         exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        enter = jnp.maximum(enter, tmin_f)
-        exit_ = jnp.minimum(exit_, tmax_f)
+        enter = jnp.maximum(enter, tmin_c.reshape(-1, 1))
+        exit_ = jnp.minimum(exit_, tmax_c.reshape(-1, 1))
         ray_hit = enter <= exit_ * jnp.float32(1.00000024)  # [rays, S]
         blk_hit = ray_hit.reshape(nblocks, BLOCK_RAYS, S).any(axis=1)
-
-        # work list: live ids FRONT-TO-BACK (by the block's nearest ray
-        # entry), dead last, tail repeating the last live id so padded
-        # steps re-map to the same table block (no DMA) and fail the
-        # new-id liveness check in the kernel
         enter_m = jnp.where(ray_hit, jnp.maximum(enter, 0.0), jnp.float32(jnp.inf))
         blk_enter = enter_m.reshape(nblocks, BLOCK_RAYS, S).min(axis=1)
         sc_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -982,78 +1039,58 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         ).astype(jnp.int32)
         cnt = blk_hit.sum(axis=1).astype(jnp.int32)
         j = jnp.minimum(sc_ids, jnp.maximum(cnt - 1, 0)[:, None])
-        work = jnp.take_along_axis(order, j, axis=1)  # [nblocks, S]
-
-        shape_f = jax.ShapeDtypeStruct(args[0].shape, jnp.float32)
-        shape_i = jax.ShapeDtypeStruct(args[0].shape, jnp.int32)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nblocks, S),
-            in_specs=[vec_spec] * 8 + [
-                pl.BlockSpec(
-                    (1, SUPER, 8), lambda i, s, w: (w[i, s], 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (SUPER, 12, TRIS), lambda i, s, w: (w[i, s], 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (SUPER, 4, TRIS), lambda i, s, w: (w[i, s], 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=[vec_spec] * 11,
-            scratch_shapes=[
-                pltpu.VMEM((SUPER, ROWS), jnp.int32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.int32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-            ],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[shape_i] + [shape_f] * 9 + [shape_i],
-            interpret=interpret,
-        )(work, *args, bbox_d, tfm_d, nrm_d)
+        return jnp.take_along_axis(order, j, axis=1)  # [nblocks, S]
 
     @jax.jit
     def intersect(ro, rd, tmin, tmax):
         n = ro.shape[0]
         n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
         pad = n_pad - n
+        nblocks = n_pad // BLOCK_RAYS
 
         def prep(x):
             return jnp.pad(x, ((0, pad),)).reshape(-1, LANES)
 
-        args = [
+        comps = [
             prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
             prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
             prep(tmin), prep(tmax),
         ]
-        rows_total = args[0].shape[0]
-        rows_chunk = WORKLIST_BLOCKS * ROWS
-        outs_parts = []
-        for lo in range(0, rows_total, rows_chunk):
-            hi = min(lo + rows_chunk, rows_total)
-            outs_parts.append(chunk_call([a[lo:hi] for a in args]))
-        outs = [
-            jnp.concatenate([p[k] for p in outs_parts], axis=0)
-            if len(outs_parts) > 1 else outs_parts[0][k]
-            for k in range(11)
-        ]
+        # pack the 8 components per block: [nblocks*8*ROWS, LANES]
+        packed = (
+            jnp.stack(comps, axis=0)
+            .reshape(8, nblocks, ROWS, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(nblocks * 8 * ROWS, LANES)
+        )
+        parts_f, parts_i = [], []
+        for blo in range(0, nblocks, WORKLIST_BLOCKS):
+            bhi = min(blo + WORKLIST_BLOCKS, nblocks)
+            nb = bhi - blo
+            # per-chunk precull: the [chunk_rays, S] temporaries stay
+            # ~180 MB instead of materializing the whole dispatch's
+            # [1M, S] at once (a ~250 ms HBM-pressure cliff at 1M rays)
+            rsel = slice(blo * ROWS, bhi * ROWS)
+            work = precull(
+                [c[rsel] for c in comps[0:3]],
+                [c[rsel] for c in comps[3:6]],
+                comps[6][rsel], comps[7][rsel], nb,
+            )
+            of, oi = chunk_call(
+                packed[blo * 8 * ROWS : bhi * 8 * ROWS], nb, work
+            )
+            parts_f.append(of.reshape(nb, 9, ROWS, LANES))
+            parts_i.append(oi.reshape(nb, 2, ROWS, LANES))
+        outf = parts_f[0] if len(parts_f) == 1 else jnp.concatenate(parts_f, axis=0)
+        outi = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i, axis=0)
 
-        unpack = lambda x: x.reshape(-1)[:n]
-        prim, u, v, t = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]), unpack(outs[3]))
-        pos = jnp.stack([unpack(outs[4]), unpack(outs[5]), unpack(outs[6])], axis=-1)
-        gn = jnp.stack([unpack(outs[7]), unpack(outs[8]), unpack(outs[9])], axis=-1)
+        comp_f = lambda k: outf[:, k].reshape(-1)[:n]
+        comp_i = lambda k: outi[:, k].reshape(-1)[:n]
+        prim = comp_i(0)
+        u, v, t = comp_f(0), comp_f(1), comp_f(2)
+        pos = jnp.stack([comp_f(3), comp_f(4), comp_f(5)], axis=-1)
+        gn = jnp.stack([comp_f(6), comp_f(7), comp_f(8)], axis=-1)
         hit = prim >= 0
-        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, unpack(outs[10]))
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, comp_i(1))
 
     return intersect

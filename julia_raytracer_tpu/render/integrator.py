@@ -60,6 +60,13 @@ class TraceOptions(NamedTuple):
     # retry budget. The loop body is fully masked, so both modes produce
     # identical results.
     fixed_iterations: int = 0
+    # sort the wavefront between bounces by (liveness, morton(hit pos)):
+    # dead lanes compact to the tail (their blocks cull to nothing in the
+    # work-list intersector) and live lanes become spatially coherent, so
+    # per-block live supercluster sets shrink. The TPU-native replacement
+    # for stream compaction (SURVEY §7 step 6) — a permutation is one
+    # cheap XLA sort+gather (~0.1 ms @ 262k lanes), no dynamic shapes.
+    sort_rays: bool = False
 
 
 def make_intersect(dscene: DeviceScene, config: SceneConfig):
@@ -120,6 +127,26 @@ def _vec(mask):
     return mask[..., None]
 
 
+def _spread3(x):
+    """Spread 10 bits to every 3rd bit (morton interleave helper)."""
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _morton3(pos, vmin, vmax):
+    """[N,3] world position -> 30-bit morton key (10 bits/axis)."""
+    scale = 1023.0 / jnp.maximum(vmax - vmin, 1e-30)
+    q = jnp.clip(((pos - vmin) * scale), 0.0, 1023.0).astype(jnp.int32)
+    return (
+        _spread3(q[..., 0])
+        | (_spread3(q[..., 1]) << 1)
+        | (_spread3(q[..., 2]) << 2)
+    )
+
+
 def trace_wavefront(
     dscene: DeviceScene,
     config: SceneConfig,
@@ -169,6 +196,27 @@ def trace_wavefront(
         vol_scattering: jnp.ndarray
         vol_aniso: jnp.ndarray
         has_vol: jnp.ndarray
+        idx: jnp.ndarray  # original lane id (identity unless sort_rays)
+
+    do_sort = options.sort_rays and options.fixed_iterations == 0
+    if do_sort:
+        pv_flat = dscene.prim_verts.reshape(-1, 3)
+        scene_vmin = jnp.min(pv_flat, axis=0)
+        scene_vmax = jnp.max(pv_flat, axis=0)
+
+    def sort_state(s: S) -> S:
+        """Permute lanes: live-with-hit lanes in morton(hit pos) order,
+        live-missed next, dead last. Pure permutation — values unchanged,
+        unpermuted at loop exit via s.idx."""
+        key = jnp.where(
+            s.alive & s.isec_hit,
+            jnp.minimum(
+                _morton3(s.isec_pos, scene_vmin, scene_vmax), 0x7FFFFFFD
+            ),
+            jnp.where(s.alive, 0x7FFFFFFE, 0x7FFFFFFF),
+        )
+        perm = jnp.argsort(key)
+        return jax.tree_util.tree_map(lambda a: a[perm], s)
 
     h0 = intersect(ro, rd, jnp.full(n, RAY_EPS), jnp.full(n, F32_MAX))
     state = S(
@@ -196,7 +244,10 @@ def trace_wavefront(
         vol_scattering=zeros3,
         vol_aniso=jnp.zeros(n, jnp.float32),
         has_vol=jnp.zeros(n, bool),
+        idx=jnp.arange(n, dtype=jnp.int32),
     )
+    if do_sort:
+        state = sort_state(state)
 
     def body(s: S) -> S:
         alive = s.alive
@@ -506,7 +557,7 @@ def trace_wavefront(
         # ---- loop condition (while bounce < bounces, src/trace.jl:295)
         alive = alive & (bounce < options.bounces)
 
-        return S(
+        new_s = S(
             ro=new_ro,
             rd=new_rd,
             isec_hit=nxt.hit,
@@ -531,7 +582,11 @@ def trace_wavefront(
             vol_scattering=vol_scattering,
             vol_aniso=vol_aniso,
             has_vol=has_vol,
+            idx=s.idx,
         )
+        if do_sort:
+            new_s = sort_state(new_s)
+        return new_s
 
     def cond(s: S):
         return jnp.any(s.alive)
@@ -543,4 +598,8 @@ def trace_wavefront(
         final, _ = jax.lax.scan(step, state, None, length=options.fixed_iterations)
     else:
         final = jax.lax.while_loop(cond, body, state)
-    return final.radiance, final.hit_flag, final.hit_albedo, final.hit_normal, final.rng
+    outs = (final.radiance, final.hit_flag, final.hit_albedo, final.hit_normal, final.rng)
+    if do_sort:
+        inv = jnp.argsort(final.idx)
+        outs = jax.tree_util.tree_map(lambda a: a[inv], outs)
+    return outs

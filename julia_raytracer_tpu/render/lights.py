@@ -12,15 +12,17 @@ src/trace.jl:1010-1084) with two deliberate changes, both documented:
 2. `sample_lights_pdf` for area lights is re-designed for a TPU
    wavefront: the reference loops over every light and re-traces the
    direction against that light's private BVH for up to 100 successive
-   hits (src/trace.jl:1029-1043) — a per-light serial loop. Because all
-   instances live in ONE flattened BVH here, a single march through the
-   scene finds the emissive hits of *all* lights at once: each hit prim
-   carries the total area of its owning light (`prim_light_area`), and
-   accumulating dist^2/(|cos| * area) over emissive march hits yields
-   exactly the same sum (per-light marches ignore occluders; ours passes
-   through them without accumulating). The number of march steps is a
-   quality knob: step 1 reuses the bounce's own next-intersection, extra
-   steps add whole-scene traversals.
+   hits (src/trace.jl:1029-1043) — a per-light serial loop whose key
+   property is that each light's BVH contains ONLY that light's
+   geometry, so occluders are invisible to the march. The TPU
+   equivalent is therefore NOT a march at all: intersect the ray
+   against every emissive element directly (they are few — 2..336 in
+   the corpus) and sum dist^2/(|cos| * area_owner) over all crossings
+   (`area_lights_pdf_exact`). This is closed-form exhaustive — zero
+   whole-scene traversals, zero truncation — and vectorizes as a
+   lax.scan over small element slabs. A truncated whole-scene march
+   remains only as a fallback for scenes with > EXACT_ELEMS emissive
+   elements, where the O(lanes x elements) sweep would not pay.
 
 CDF layout: all per-light element CDFs are raw float32 cumulative sums
 (matching sample_discrete, src/sampling.jl:33-40) concatenated into one
@@ -35,7 +37,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from julia_raytracer_tpu.ops.geometry import interpolate_quad, quad_normal
+import jax
+
+from julia_raytracer_tpu.ops.geometry import (
+    interpolate_quad, quad_normal, triangle_normal,
+)
 from julia_raytracer_tpu.scene.flatten import FLAG_IS_TRIANGLE_SHAPE, FlatScene
 from julia_raytracer_tpu.utils.vecmath import (
     normalize, select_rows, transform_direction, transform_normal,
@@ -47,6 +53,13 @@ PIF = jnp.float32(np.pi)
 # TPU dynamic gathers cost ~3 ms per 262k-lane lookup, a 64-deep select
 # chain costs microseconds
 DENSE_ELEMS = 64
+
+# emissive-element cap for the exact (sweep-all-elements) light pdf; above
+# this the O(lanes x elements) cost would rival a traversal and the
+# truncated whole-scene march takes over. Corpus max is 336 (staircase2).
+EXACT_ELEMS = 4096
+# elements per scan slab in the exact pdf (bounds the [lanes, slab] temps)
+ELEM_PDF_CHUNK = 16
 
 
 class DeviceLights(NamedTuple):
@@ -218,6 +231,21 @@ def build_lights_np(flat: FlatScene, order: np.ndarray) -> tuple[dict, LightCoun
         total_inst_elems=total_elems,
     )
     return lights, counts
+
+
+def auto_light_pdf_steps(n_lights: int, has_transmission: bool) -> int:
+    """March budget for the FALLBACK truncated whole-scene march in
+    sample_lights_pdf — only reached when a scene has > EXACT_ELEMS
+    emissive elements (no corpus scene does; they all take the exact
+    sweep, which ignores this knob). tests/test_light_pdf_fidelity.py
+    showed truncated marches underestimate the pdf badly on occluded
+    multi-light scenes (38% at 2 steps on staircase2), so the fallback
+    budget is deliberately generous: occluder hits consume steps without
+    accumulating (the reference's per-light BVHs never see occluders,
+    src/trace.jl:1024-1043)."""
+    if n_lights > 4 or has_transmission:
+        return 8
+    return 4
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +444,87 @@ def area_light_hit_pdf(
     return jnp.where(hit & (area > 0), contrib, 0.0)
 
 
+def area_lights_pdf_exact(lights: DeviceLights, counts: LightCounts, position, direction):
+    """Exact area-light pdf: sum t^2/(|cos|*area_owner) over EVERY
+    emissive element the ray crosses — the closed-form equivalent of the
+    reference's occluder-ignoring per-light BVH marches
+    (src/trace.jl:1024-1043, up to 100 hits per light). Elements are
+    swept as two triangles each, (p1,p2,p4)+(p3,p4,p2) with the quirk
+    that our embedded triangles have p3==p4 so the second never hits
+    (src/geometry.jl:238-258), in ELEM_PDF_CHUNK-wide slabs under
+    lax.scan to bound the [lanes, slab] temporaries."""
+    ci = counts.total_inst_elems
+    lanes = position.shape[:-1]
+    if ci == 0:
+        return jnp.zeros(lanes, jnp.float32)
+    chunk = min(ELEM_PDF_CHUNK, ci)
+    n_slabs = -(-ci // chunk)
+    pad = n_slabs * chunk - ci
+    verts = lights.elem_verts[:ci]
+    areas = lights.elem_owner_area[:ci]
+    if pad:
+        verts = jnp.concatenate([verts, jnp.zeros((pad, 12), jnp.float32)], axis=0)
+        areas = jnp.concatenate([areas, jnp.zeros((pad,), jnp.float32)], axis=0)
+    verts = verts.reshape(n_slabs, chunk, 4, 3)
+    areas = areas.reshape(n_slabs, chunk)
+    ro = position[..., None, :]
+    rd = direction[..., None, :]
+    tmin = jnp.float32(1e-4)
+
+    def lex_less(p, q):
+        """Strict lexicographic order of 3D points — the edge-ownership
+        tie-break below."""
+        return jnp.where(
+            p[..., 0] != q[..., 0],
+            p[..., 0] < q[..., 0],
+            jnp.where(p[..., 1] != q[..., 1], p[..., 1] < q[..., 1], p[..., 2] < q[..., 2]),
+        )
+
+    def tri_contrib(a, b, c, area):
+        """Moller-Trumbore with HALF-OPEN boundaries: a hit exactly on a
+        shared edge must count once, not once per adjacent triangle (the
+        reference's march steps 1e-3 past each hit, src/trace.jl:1042, so
+        coplanar duplicates are skipped). Each directed winding edge
+        (a->b, b->c, c->a) owns its boundary iff its endpoints ascend
+        lexicographically; adjacent triangles traverse a shared edge in
+        opposite directions, so exactly one claims it."""
+        edge1 = b - a
+        edge2 = c - a
+        pvec = jnp.cross(rd, edge2[None])
+        det = jnp.sum(edge1[None] * pvec, axis=-1)
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        tvec = ro - a[None]
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, edge1[None])
+        v = jnp.sum(rd * qvec, axis=-1) * inv_det
+        t = jnp.sum(edge2[None] * qvec, axis=-1) * inv_det
+        own_ab = lex_less(a, b)[None]  # v == 0 lies on edge a-b
+        own_bc = lex_less(b, c)[None]  # u + v == 1 lies on edge b-c
+        own_ca = lex_less(c, a)[None]  # u == 0 lies on edge c-a
+        hit = (
+            (det != 0.0)
+            & ((v > 0.0) | ((v == 0.0) & own_ab))
+            & ((u > 0.0) | ((u == 0.0) & own_ca))
+            & ((u + v < 1.0) | ((u + v == 1.0) & own_bc))
+            & (t >= tmin)
+        )
+        nrm = triangle_normal(a, b, c)  # [chunk, 3]
+        cos = jnp.abs(jnp.sum(nrm[None] * rd, axis=-1))
+        contrib = t * t / jnp.maximum(cos * area[None], 1e-30)
+        return jnp.where(hit & (area[None] > 0), contrib, 0.0).sum(axis=-1)
+
+    def slab(pdf, xs):
+        v, a = xs
+        p1, p2, p3, p4 = v[:, 0], v[:, 1], v[:, 2], v[:, 3]
+        # quad = (p1,p2,p4)+(p3,p4,p2) (src/geometry.jl:238-258); embedded
+        # triangles have p3 == p4 so the second is degenerate (det == 0)
+        pdf = pdf + tri_contrib(p1, p2, p4, a) + tri_contrib(p3, p4, p2, a)
+        return pdf, None
+
+    pdf, _ = jax.lax.scan(slab, jnp.zeros(lanes, jnp.float32), (verts, areas))
+    return pdf
+
+
 def sample_lights_pdf(
     scene,
     lights: DeviceLights,
@@ -426,18 +535,22 @@ def sample_lights_pdf(
     first_hit,  # (hit, prim, u, v, t) from the already-computed next intersection
     extra_steps: int = 4,
 ):
-    """Solid-angle pdf of `direction` under light sampling — the flattened
-    single-march equivalent of the reference's per-light re-tracing
-    (src/trace.jl:1010-1084); see module docstring. `first_hit` reuses the
-    bounce's own intersection as march step 1, so `extra_steps` is the
-    number of ADDITIONAL whole-scene traversals."""
+    """Solid-angle pdf of `direction` under light sampling
+    (src/trace.jl:1010-1084); see module docstring. Area lights take the
+    exact element sweep when the scene has <= EXACT_ELEMS emissive
+    elements (all corpus scenes; `intersect_fn`/`first_hit`/`extra_steps`
+    are unused there). Bigger emissive sets fall back to the truncated
+    whole-scene march: `first_hit` reuses the bounce's own intersection
+    as step 1 and `extra_steps` adds whole-scene traversals."""
     L = counts.total
     if L == 0:
         return jnp.zeros(position.shape[:-1], jnp.float32)
 
     pdf = jnp.zeros(position.shape[:-1], jnp.float32)
 
-    if counts.n_instance > 0:
+    if 0 < counts.total_inst_elems <= EXACT_ELEMS:
+        pdf = pdf + area_lights_pdf_exact(lights, counts, position, direction)
+    elif counts.n_instance > 0:
         hit, prim, t, lnormal = (
             first_hit.hit, first_hit.prim, first_hit.t, first_hit.gnormal,
         )

@@ -58,7 +58,9 @@ class Params:
     bvhstacksize: int = 128  # traversal uses fixed short stacks; kept for CLI parity
     # TPU-side additions
     seed: int = 0
-    light_pdf_extra_steps: int = 2
+    # -1 = auto per scene (render/lights.py auto_light_pdf_steps,
+    # justified by tests/test_light_pdf_fidelity.py)
+    light_pdf_extra_steps: int = -1
 
 
 @dataclass
@@ -156,12 +158,33 @@ class Renderer:
         cam_id = max(find_camera(scene_data, params.camera), 0)
         self.camera = scene_data.cameras[cam_id]
         self.cam_arrays = camera_arrays(self.camera)
+        if params.light_pdf_extra_steps >= 0:
+            pdf_steps = params.light_pdf_extra_steps
+        else:
+            from julia_raytracer_tpu.render.lights import auto_light_pdf_steps
+
+            # only consulted by the fallback truncated march (scenes with
+            # > EXACT_ELEMS emissive elements); every corpus scene takes
+            # the exact element sweep which ignores this budget.
+            # transparent(3)/refractive(4)/subsurface(5)/volumetric(6)
+            # put non-emissive surfaces along light paths, so emissive
+            # march hits can hide deeper than the opaque-scene budget
+            transmissive = bool(
+                set(self.config.present_types) & {3, 4, 5, 6}
+            )
+            pdf_steps = auto_light_pdf_steps(
+                self.config.light_counts.total, transmissive
+            )
         self.options = TraceOptions(
             sampler=params.sampler,
             bounces=params.bounces,
             envhidden=params.envhidden,
             nocaustics=params.nocaustics,
-            light_pdf_extra_steps=params.light_pdf_extra_steps,
+            light_pdf_extra_steps=pdf_steps,
+            # wavefront sorting pays for itself once per-block live sets
+            # shrink (heavy scenes); tiny scenes use dense kernels where
+            # coherence doesn't matter
+            sort_rays=self.config.n_prims >= 50_000,
         )
         self.intersect = build_intersector(self.dscene, self.config)
         self._kernel_cache = {}

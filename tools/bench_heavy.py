@@ -1,0 +1,94 @@
+"""Heavy-tier benchmark (BASELINE config 4): kitchen + bathroom1 at 720p.
+
+Renders a small sample count at the full config-4 resolution and
+extrapolates wall-time for 256 spp from the steady-state per-sample
+time (the accumulation is a running mean, so per-sample cost is
+constant). Writes BENCH_HEAVY.json at the repo root:
+
+  {scene: {resolution, spp_measured, ms_per_sample, mrays_per_s,
+           est_wall_256spp_s, host_prep_s, compile_s}}
+
+Usage: python tools/bench_heavy.py [scene ...]   (default: both)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCENES = {
+    "kitchen": 720,
+    "bathroom1": 720,
+}
+
+
+def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
+    from julia_raytracer_tpu.scene.loader import load_scene
+
+    scene_path = f"/root/reference/scenes/{name}/{name}.json"
+    t0 = time.time()
+    scene = load_scene(scene_path)
+    params = Params(
+        scene=scene_path, resolution=resolution, samples=warm + measured,
+        batch=warm, bounces=8, sampler="path",
+    )
+    r = Renderer(scene, params)
+    host_prep = time.time() - t0
+
+    state = make_trace_state(scene, params)
+    t0 = time.time()
+    state = r.trace_samples(state)  # warm batch: includes compile
+    jax.block_until_ready(state.image)
+    compile_s = time.time() - t0
+
+    r.params.batch = measured
+    t0 = time.time()
+    state = r.trace_samples(state)
+    jax.block_until_ready(state.image)
+    dt = time.time() - t0
+
+    ms_per_sample = dt / measured * 1e3
+    n_px = state.n_pixels
+    # paths/s: one camera path per pixel per sample
+    mrays = n_px * measured / dt / 1e6
+    return {
+        "resolution": f"{state.width}x{state.height}",
+        "spp_measured": measured,
+        "ms_per_sample": round(ms_per_sample, 1),
+        "mpaths_per_s": round(mrays, 3),
+        "est_wall_256spp_s": round(ms_per_sample * 256 / 1e3, 1),
+        "host_prep_s": round(host_prep, 1),
+        "first_batch_incl_compile_s": round(compile_s, 1),
+    }
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(SCENES)
+    out_path = os.path.join(REPO, "BENCH_HEAVY.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    for name in names:
+        print(f"benchmarking {name}...", flush=True)
+        results[name] = bench(name, SCENES[name])
+        print(json.dumps({name: results[name]}), flush=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
