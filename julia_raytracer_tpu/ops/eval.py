@@ -121,11 +121,19 @@ def eval_element_tangents(scene, verts, vidx, flags):
     return normalize(tu), normalize(tv)
 
 
-def eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx, flags):
-    """Tangent-space normal mapping (src/scene.jl:722-751)."""
+def eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx, flags,
+                   inst=None, instanced=False):
+    """Tangent-space normal mapping (src/scene.jl:722-751). In instanced
+    mode `verts` are shape-space, so the tangents rotate into world by the
+    instance frame (the reference computes object tangents then rotates,
+    src/scene.jl:851-891)."""
     nm = tex_ops.eval_texture(scene.textures, normal_tex, texcoord, as_linear=False)
     normalmap = nm[..., :3] * 2.0 - 1.0
     tu, tv = eval_element_tangents(scene, verts, vidx, flags)
+    if instanced:
+        frame = scene.inst_frame[inst]
+        tu = transform_normal(frame, tu)
+        tv = transform_normal(frame, tv)
     f1 = orthonormalize(tu, normal)
     f2 = normalize(cross(normal, f1))
     flip_v = dot(f2, tv) < 0.0

@@ -1094,3 +1094,416 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, comp_i(1))
 
     return intersect
+
+
+# ---------------------------------------------------------------------------
+# Two-level instanced variant: work items = (instance, shape-supercluster)
+# ---------------------------------------------------------------------------
+#
+# The reference's scene BVH over instances transforms each ray into shape
+# space at instance leaves and walks that shape's private BVH
+# (src/bvh.jl:306-371, :493-520). The TPU equivalent keeps each shape's
+# cluster tables ONCE (shape space, scene/instanced.py) and streams WORK
+# ITEMS: each grid step processes one (instance, supercluster) pair for a
+# 1024-ray block. Scalar-prefetch index maps pick the supercluster's
+# table block by wi_sup[item] and the instance's transform row by
+# wi_inst[item]; the kernel transforms the ray block into shape space in
+# registers (t is world-consistent because directions are not
+# renormalized) and merges against the running best-t.
+#
+# The per-block work list is K-capped: an XLA beam pre-pass (interval
+# bounds of the block's origins/directions) selects and front-to-back
+# orders the block's candidate items, and an outer while_loop issues
+# rounds of K items until every block is done or provably cannot improve
+# (best_t <= the next item's conservative t lower bound). Most blocks
+# finish in round 1; the cap keeps the grid static and the dead-step
+# overhead bounded at blocks*K instead of blocks*N_items.
+
+WL_INST_K = 64  # work items per block per round
+
+
+def _make_kernel_instanced(k_items: int, sup: int, q: int):
+    K = k_items
+
+    def kernel(wq_ref, cnt_ref, wsup_ref, winst_ref,
+               rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
+               cmask_ref, cany_ref,
+               bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+               bin_ref):
+        i_id = pl.program_id(0)
+        k_id = pl.program_id(1)
+        item = wq_ref[i_id, k_id]
+        sc_id = wsup_ref[item]
+        inst_id = winst_ref[item]
+        R = ROWS
+        wox, woy, woz = rays_ref[0:R], rays_ref[R:2*R], rays_ref[2*R:3*R]
+        wdx, wdy, wdz = rays_ref[3*R:4*R], rays_ref[4*R:5*R], rays_ref[5*R:6*R]
+        tmin, tmax = rays_ref[6*R:7*R], rays_ref[7*R:8*R]
+
+        @pl.when(k_id == 0)
+        def _():
+            bt_ref[:, :] = tmax
+            btri_ref[:, :] = jnp.full((ROWS, LANES), -1, jnp.int32)
+            bu_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bv_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bnx_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bny_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bnz_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+            bin_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
+
+        live = k_id < cnt_ref[i_id]
+
+        @pl.when(live)
+        def _():
+            # ray block world -> shape space (obj = world @ Ri + oi;
+            # inst_rows layout scene/instanced.py)
+            ri = [xf_ref[0, j] for j in range(9)]
+            oi = [xf_ref[0, 9 + j] for j in range(3)]
+            fw = [xf_ref[0, 12 + j] for j in range(9)]
+            ox = wox * ri[0] + woy * ri[3] + woz * ri[6] + oi[0]
+            oy = wox * ri[1] + woy * ri[4] + woz * ri[7] + oi[1]
+            oz = wox * ri[2] + woy * ri[5] + woz * ri[8] + oi[2]
+            dx = wdx * ri[0] + wdy * ri[3] + wdz * ri[6]
+            dy = wdx * ri[1] + wdy * ri[4] + wdz * ri[7]
+            dz = wdx * ri[2] + wdy * ri[5] + wdz * ri[8]
+            inv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
+            idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
+
+            def cull(bm):
+                bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
+                bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
+                cols = []
+                for r in range(ROWS):
+                    enter = None
+                    exit_ = None
+                    for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
+                        t0 = (bmin[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                        t1 = (bmax[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                        lo = jnp.minimum(t0, t1)
+                        hi = jnp.maximum(t0, t1)
+                        enter = lo if enter is None else jnp.maximum(enter, lo)
+                        exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
+                    enter = jnp.maximum(enter, tmin[r:r + 1, :])
+                    best = jnp.minimum(tmax[r:r + 1, :], bt_ref[r:r + 1, :])
+                    exit_ = jnp.minimum(exit_, best)
+                    row_hit = enter <= exit_ * jnp.float32(1.00000024)
+                    cols.append(jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32))
+                return jnp.concatenate(cols, axis=1)  # [sup, ROWS]
+
+            tri_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, LANES), 0)
+
+            def process_cluster(ci):
+                T = tab_ref[0, ci, 0:12]
+                nrm = tab_ref[0, ci, 12:16]
+                A = [
+                    jnp.concatenate(
+                        [T[3 * r_: 3 * r_ + 3, :], T[9 + r_: 10 + r_, :]], axis=0
+                    )
+                    for r_ in range(3)
+                ]
+                for r in range(ROWS):
+                  @pl.when(cmask_ref[ci, r] != 0)
+                  def _row(r=r):
+                    o_h = jnp.concatenate(
+                        [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
+                         jnp.ones((1, LANES), jnp.float32)], axis=0,
+                    )
+                    d_h = jnp.concatenate(
+                        [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
+                         jnp.zeros((1, LANES), jnp.float32)], axis=0,
+                    )
+                    dot = lambda a_, b_: jax.lax.dot_general(
+                        a_, b_, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    opx, opy, opz = dot(A[0], o_h), dot(A[1], o_h), dot(A[2], o_h)
+                    dpx, dpy, dpz = dot(A[0], d_h), dot(A[1], d_h), dot(A[2], d_h)
+
+                    bt_row = bt_ref[r:r + 1, :]
+                    tt = -opz / jnp.where(dpz == 0.0, 1e-30, dpz)
+                    uu = opx + tt * dpx
+                    vv = opy + tt * dpy
+                    hit = (
+                        (dpz != 0.0)
+                        & (uu >= 0.0) & (uu <= 1.0)
+                        & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt >= tmin[r:r + 1, :]) & (tt < bt_row)
+                    )
+                    tt = jnp.where(hit, tt, 3.4028235e38)
+                    min_t = jnp.min(tt, axis=0, keepdims=True)
+                    arg = jnp.argmin(tt, axis=0)[None, :]
+                    upd = min_t < bt_row
+                    onehot = (tri_ids == arg).astype(jnp.float32)
+                    sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
+                    u_sel = sel(uu)
+                    v_sel = sel(vv)
+                    ndot = lambda k: jax.lax.dot_general(
+                        nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    nx_s = ndot(0)
+                    ny_s = ndot(1)
+                    nz_s = ndot(2)
+                    # shape -> world normal (n_w = n_s @ R, rigid
+                    # transform_normal semantics src/math.jl:124-125);
+                    # normalized outside the kernel
+                    nx_w = nx_s * fw[0] + ny_s * fw[3] + nz_s * fw[6]
+                    ny_w = nx_s * fw[1] + ny_s * fw[4] + nz_s * fw[7]
+                    nz_w = nx_s * fw[2] + ny_s * fw[5] + nz_s * fw[8]
+
+                    odd = (arg % 2) == 1
+                    u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
+                    v_sel = jnp.where(odd, 1.0 - v_sel, v_sel)
+
+                    rsel = pl.ds(r, 1)
+                    bu_ref[rsel, :] = jnp.where(upd, u_sel, bu_ref[rsel, :])
+                    bv_ref[rsel, :] = jnp.where(upd, v_sel, bv_ref[rsel, :])
+                    bnx_ref[rsel, :] = jnp.where(upd, nx_w, bnx_ref[rsel, :])
+                    bny_ref[rsel, :] = jnp.where(upd, ny_w, bny_ref[rsel, :])
+                    bnz_ref[rsel, :] = jnp.where(upd, nz_w, bnz_ref[rsel, :])
+                    bin_ref[rsel, :] = jnp.where(
+                        upd, inst_id.astype(jnp.float32), bin_ref[rsel, :]
+                    )
+                    btri_ref[rsel, :] = jnp.where(
+                        upd, (sc_id * sup + ci) * TRIS + arg, btri_ref[rsel, :]
+                    )
+                    bt_ref[rsel, :] = jnp.where(upd, min_t, bt_ref[rsel, :])
+
+            cm = cull(bbox_ref[0])
+            cmask_ref[:, :] = cm
+            cany_ref[:, :] = jnp.sum(cm, axis=1, keepdims=True)
+
+            def inner(ci, _):
+                @pl.when(cany_ref[ci, 0] != 0)
+                def _():
+                    process_cluster(ci)
+                return 0
+
+            jax.lax.fori_loop(0, sup, inner, 0)
+
+        @pl.when(k_id == K - 1)
+        def _():
+            best_tri = btri_ref[:]
+            best_t = bt_ref[:]
+            prim = jnp.where(best_tri >= 0, best_tri // 2, -1)
+            prim = jnp.where(prim >= q, -1, prim)
+            hit = prim >= 0
+            t_out = jnp.where(hit, best_t, tmax)
+            outi_ref[0:R, :] = prim
+            outi_ref[R:2*R, :] = (bin_ref[:] + 0.5).astype(jnp.int32)
+            outf_ref[0:R, :] = bu_ref[:]
+            outf_ref[R:2*R, :] = bv_ref[:]
+            outf_ref[2*R:3*R, :] = t_out
+            outf_ref[3*R:4*R, :] = wox + t_out * wdx
+            outf_ref[4*R:5*R, :] = woy + t_out * wdy
+            outf_ref[5*R:6*R, :] = woz + t_out * wdz
+            outf_ref[6*R:7*R, :] = bnx_ref[:]
+            outf_ref[7*R:8*R, :] = bny_ref[:]
+            outf_ref[8*R:9*R, :] = bnz_ref[:]
+
+    return kernel
+
+
+def make_cluster_intersect_instanced(tables, interpret: bool = False,
+                                     k_items: int = WL_INST_K):
+    """Two-level instanced intersector -> Hit (see section comment).
+
+    `tables` is a scene/instanced.py InstancedTables."""
+    sup = tables.sup
+    q = tables.n_prims
+    n_items = max(len(tables.wi_sup), 1)
+    K = min(k_items, max(8, n_items))
+
+    tab_d = jnp.asarray(tables.tab)
+    bbox_d = jnp.asarray(tables.bbox)
+    xf_d = jnp.asarray(tables.inst_rows)
+    wsup_d = jnp.asarray(
+        tables.wi_sup if len(tables.wi_sup) else np.zeros(1, np.int32)
+    )
+    winst_d = jnp.asarray(
+        tables.wi_inst if len(tables.wi_inst) else np.zeros(1, np.int32)
+    )
+    wib = tables.wi_bbox if len(tables.wi_bbox) else np.zeros((1, 6), np.float32)
+    wib_d = jnp.asarray(wib)
+    scene_lo = wib[:, 0:3].min(axis=0)
+    scene_hi = wib[:, 3:6].max(axis=0)
+    diag = float(np.linalg.norm(scene_hi - scene_lo)) + 1.0
+
+    max_rounds = -(-n_items // K)
+    n_pad_items = max_rounds * K
+
+    kernel = _make_kernel_instanced(K, sup, q)
+
+    def chunk_call(rays_packed, sub_blocks, wq, cnt):
+        shape_f = jax.ShapeDtypeStruct((sub_blocks * 9 * ROWS, LANES), jnp.float32)
+        shape_i = jax.ShapeDtypeStruct((sub_blocks * 2 * ROWS, LANES), jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(sub_blocks, K),
+            in_specs=[
+                pl.BlockSpec(
+                    (8 * ROWS, LANES), lambda i, k, wq, c, ws, wi: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, sup, 8), lambda i, k, wq, c, ws, wi: (ws[wq[i, k]], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, sup, 16, TRIS),
+                    lambda i, k, wq, c, ws, wi: (ws[wq[i, k]], 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 24), lambda i, k, wq, c, ws, wi: (wi[wq[i, k]], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (9 * ROWS, LANES), lambda i, k, wq, c, ws, wi: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2 * ROWS, LANES), lambda i, k, wq, c, ws, wi: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sup, ROWS), jnp.int32),
+                pltpu.VMEM((sup, 1), jnp.int32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.int32),
+            ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[shape_f, shape_i],
+            interpret=interpret,
+        )(wq, cnt, wsup_d, winst_d, rays_packed, bbox_d, tab_d, xf_d)
+
+    def beam_precull(comps, nblocks):
+        """Per-block candidate items: conservative interval-beam overlap
+        + front-to-back ordering by box-to-box distance t_low (a true
+        lower bound on any member ray's hit t for unit directions)."""
+        def bounds(c3):
+            a = jnp.stack(c3, axis=-1).reshape(nblocks, BLOCK_RAYS, 3)
+            return a.min(axis=1), a.max(axis=1)
+
+        olo, ohi = bounds(comps[0:3])
+        dlo, dhi = bounds(comps[3:6])
+        blo = wib_d[None, :, 0:3]  # [1, Ni, 3]
+        bhi = wib_d[None, :, 3:6]
+        gap = jnp.maximum(
+            jnp.maximum(blo - ohi[:, None, :], olo[:, None, :] - bhi), 0.0
+        )
+        t_low = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # [nb, Ni]
+        T = (t_low.min(axis=1, keepdims=True) + diag)
+        reach_lo = olo[:, None, :] + jnp.minimum(dlo, 0.0)[:, None, :] * T[..., None]
+        reach_hi = ohi[:, None, :] + jnp.maximum(dhi, 0.0)[:, None, :] * T[..., None]
+        overlap = jnp.all((reach_lo <= bhi) & (reach_hi >= blo), axis=-1)
+        key = jnp.where(overlap, t_low, jnp.float32(jnp.inf))
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)
+        cnt = overlap.sum(axis=1).astype(jnp.int32)
+        tlow_sorted = jnp.take_along_axis(key, order, axis=1)
+        if n_pad_items > order.shape[1]:
+            padw = n_pad_items - order.shape[1]
+            order = jnp.pad(order, ((0, 0), (0, padw)), mode="edge")
+            tlow_sorted = jnp.pad(
+                tlow_sorted, ((0, 0), (0, padw)), constant_values=jnp.inf
+            )
+        return order, tlow_sorted, cnt
+
+    @jax.jit
+    def intersect(ro, rd, tmin, tmax):
+        n = ro.shape[0]
+        n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+        pad = n_pad - n
+        nblocks = n_pad // BLOCK_RAYS
+
+        def prep(x):
+            return jnp.pad(x, ((0, pad),)).reshape(-1, LANES)
+
+        comps = [
+            prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+            prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+            prep(tmin), prep(tmax),
+        ]
+        parts_f, parts_i = [], []
+        for blo_i in range(0, nblocks, WORKLIST_BLOCKS):
+            bhi_i = min(blo_i + WORKLIST_BLOCKS, nblocks)
+            nb = bhi_i - blo_i
+            rsel = slice(blo_i * ROWS, bhi_i * ROWS)
+            ccomp = [c[rsel] for c in comps]
+            order, tlow_sorted, cnt = beam_precull(ccomp, nb)
+
+            packed0 = (
+                jnp.stack(ccomp, axis=0)
+                .reshape(8, nb, ROWS, LANES)
+                .transpose(1, 0, 2, 3)
+            )  # [nb, 8, ROWS, LANES]
+            tmax0 = packed0[:, 7]
+            init_f = jnp.zeros((nb, 9, ROWS, LANES), jnp.float32)
+            init_f = init_f.at[:, 2].set(tmax0)
+            init_i = jnp.concatenate(
+                [
+                    jnp.full((nb, 1, ROWS, LANES), -1, jnp.int32),
+                    jnp.zeros((nb, 1, ROWS, LANES), jnp.int32),
+                ],
+                axis=1,
+            )
+
+            def cond(carry):
+                r, _, _, active = carry
+                return (r < max_rounds) & jnp.any(active)
+
+            def body(carry):
+                r, accf, acci, active = carry
+                wq = jax.lax.dynamic_slice(order, (0, r * K), (nb, K))
+                cntr = jnp.clip(cnt - r * K, 0, K) * active.astype(jnp.int32)
+                # feed the running best t as tmax: in-kernel culls reject
+                # anything not strictly closer
+                best_t = accf[:, 2]
+                rays = packed0.at[:, 7].set(jnp.minimum(tmax0, best_t))
+                of, oi = chunk_call(
+                    rays.reshape(nb * 8 * ROWS, LANES), nb, wq, cntr
+                )
+                of = of.reshape(nb, 9, ROWS, LANES)
+                oi = oi.reshape(nb, 2, ROWS, LANES)
+                new_hit = oi[:, 0:1] >= 0
+                accf = jnp.where(new_hit, of, accf)
+                acci = jnp.where(new_hit, oi, acci)
+                nxt = jnp.minimum((r + 1) * K, n_pad_items - 1)
+                next_tlow = jax.lax.dynamic_slice(
+                    tlow_sorted, (0, nxt), (nb, 1)
+                )  # [nb, 1]
+                remaining = cnt > (r + 1) * K
+                improvable = jnp.any(
+                    accf[:, 2].reshape(nb, -1) > next_tlow, axis=1
+                )
+                return (r + 1, accf, acci, active & remaining & improvable)
+
+            active0 = cnt > 0
+            _, outf, outi, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), init_f, init_i, active0)
+            )
+            parts_f.append(outf)
+            parts_i.append(outi)
+        outf = parts_f[0] if len(parts_f) == 1 else jnp.concatenate(parts_f, axis=0)
+        outi = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i, axis=0)
+
+        comp_f = lambda k: outf[:, k].reshape(-1)[:n]
+        comp_i = lambda k: outi[:, k].reshape(-1)[:n]
+        prim = comp_i(0)
+        u, v, t = comp_f(0), comp_f(1), comp_f(2)
+        pos = jnp.stack([comp_f(3), comp_f(4), comp_f(5)], axis=-1)
+        gn = jnp.stack([comp_f(6), comp_f(7), comp_f(8)], axis=-1)
+        gl = jnp.sqrt(jnp.sum(gn * gn, axis=-1, keepdims=True))
+        gn = gn / jnp.where(gl > 0, gl, 1.0)
+        hit = prim >= 0
+        return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, comp_i(1))
+
+    return intersect

@@ -69,10 +69,98 @@ class TraceOptions(NamedTuple):
     sort_rays: bool = False
 
 
+def make_intersect_instanced_ref(dscene: DeviceScene, config: SceneConfig):
+    """jnp reference intersector for INSTANCED scenes: python loop over
+    instances, ray transformed into shape space per instance, brute-force
+    quads per shape (src/bvh.jl:345 semantics). O(instances) unrolled —
+    for tests and tiny scenes only; real instanced scenes use the Pallas
+    two-level kernel."""
+    import numpy as np
+
+    from julia_raytracer_tpu.ops.geometry import F32_MAX, intersect_quad
+    from julia_raytracer_tpu.ops.traversal import Hit
+
+    tb = config.inst_tables
+    verts = dscene.prim_verts  # shape-space, cluster-padded concat
+    # per-shape padded prim bounds from the supercluster layout
+    from julia_raytracer_tpu.ops.pallas_cluster import PRIMS_PER_CLUSTER
+
+    pp_per_sup = tb.sup * PRIMS_PER_CLUSTER
+    rows = np.asarray(tb.inst_rows)
+    n_inst = rows.shape[0]
+    sup_off = np.asarray(tb.shape_sup_offset)
+
+    def intersect(ro, rd, tmin, tmax):
+        n = ro.shape[0]
+        best = Hit(
+            jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32),
+            jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+            tmax, ro + rd * tmax[..., None], jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros(n, jnp.int32),
+        )
+        # group work items by instance (each instance appears once per
+        # supercluster; dedupe)
+        seen = set()
+        for item in range(len(tb.wi_inst)):
+            i = int(tb.wi_inst[item])
+            if i in seen:
+                continue
+            seen.add(i)
+            sid = None
+            # find shape via supercluster id
+            sc = int(tb.wi_sup[item])
+            sid = int(np.searchsorted(sup_off, sc, side="right") - 1)
+            plo = int(sup_off[sid]) * pp_per_sup
+            phi = int(sup_off[sid + 1]) * pp_per_sup
+            if phi == plo:
+                continue
+            ri = jnp.asarray(rows[i, 0:9].reshape(3, 3))
+            oi = jnp.asarray(rows[i, 9:12])
+            fw = jnp.asarray(rows[i, 12:21].reshape(3, 3))
+            so = ro @ ri + oi
+            sd = rd @ ri
+            sv = verts[plo:phi]
+            h, u, v, t = intersect_quad(
+                so[:, None, :], sd[:, None, :], tmin[:, None],
+                jnp.minimum(tmax, best.t)[:, None],
+                sv[None, :, 0], sv[None, :, 1], sv[None, :, 2], sv[None, :, 3],
+            )
+            tt = jnp.where(h, t, F32_MAX)
+            jbest = jnp.argmin(tt, axis=1)
+            tbest = jnp.take_along_axis(tt, jbest[:, None], axis=1)[:, 0]
+            upd = tbest < best.t
+            take = lambda a: jnp.take_along_axis(a, jbest[:, None], axis=1)[:, 0]
+            pb = plo + jbest.astype(jnp.int32)
+            vb = verts[pb]
+            from julia_raytracer_tpu.ops.geometry import quad_normal
+
+            gn_s = quad_normal(vb[:, 0], vb[:, 1], vb[:, 2], vb[:, 3])
+            gn_w = gn_s @ fw
+            gl = jnp.sqrt(jnp.sum(gn_w * gn_w, axis=-1, keepdims=True))
+            gn_w = gn_w / jnp.where(gl > 0, gl, 1.0)
+            best = Hit(
+                hit=jnp.where(upd, True, best.hit),
+                prim=jnp.where(upd, pb, best.prim),
+                u=jnp.where(upd, take(u), best.u),
+                v=jnp.where(upd, take(v), best.v),
+                t=jnp.where(upd, tbest, best.t),
+                position=jnp.where(
+                    upd[:, None], ro + rd * tbest[:, None], best.position
+                ),
+                gnormal=jnp.where(upd[:, None], gn_w, best.gnormal),
+                instance=jnp.where(upd, i, best.instance),
+            )
+        return best
+
+    return intersect
+
+
 def make_intersect(dscene: DeviceScene, config: SceneConfig):
     """Closest-hit query against the device scene (traceable; reads the
     possibly-traced dscene arrays). Tiny scenes use the dense brute-force
     path (pure VPU, zero gathers)."""
+    if config.inst_tables is not None:
+        return make_intersect_instanced_ref(dscene, config)
     if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
         def intersect(ro, rd, tmin, tmax):
             return intersect_bruteforce(
@@ -97,6 +185,14 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
     import numpy as np
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    if config.inst_tables is not None:
+        if on_tpu:
+            from julia_raytracer_tpu.ops.pallas_cluster import (
+                make_cluster_intersect_instanced,
+            )
+
+            return make_cluster_intersect_instanced(config.inst_tables)
+        return make_intersect_instanced_ref(dscene, config)
     if on_tpu and config.n_prims > 0:
         # host copies carried in the config avoid a device->host readback
         # (~45 s over the axon tunnel for kitchen-size vert arrays)
@@ -200,9 +296,15 @@ def trace_wavefront(
 
     do_sort = options.sort_rays and options.fixed_iterations == 0
     if do_sort:
-        pv_flat = dscene.prim_verts.reshape(-1, 3)
-        scene_vmin = jnp.min(pv_flat, axis=0)
-        scene_vmax = jnp.max(pv_flat, axis=0)
+        if config.world_bounds is not None:
+            # instanced scenes: prim_verts are shape-space; world bounds
+            # come from the work-item bboxes via the config
+            scene_vmin = jnp.asarray(config.world_bounds[0])
+            scene_vmax = jnp.asarray(config.world_bounds[1])
+        else:
+            pv_flat = dscene.prim_verts.reshape(-1, 3)
+            scene_vmin = jnp.min(pv_flat, axis=0)
+            scene_vmax = jnp.max(pv_flat, axis=0)
 
     def sort_state(s: S) -> S:
         """Permute lanes: live-with-hit lanes in morton(hit pos) order,

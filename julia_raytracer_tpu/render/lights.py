@@ -361,11 +361,14 @@ def sample_lights(scene, lights: DeviceLights, counts: LightCounts, position, rl
             elem = sample_discrete(
                 lights.inst_cdf, off, cnt, rel, max_count=counts.max_inst_elems
             )
-            prim = lights.inst_prim[
-                jnp.clip(off + elem, 0, lights.inst_prim.shape[0] - 1)
-            ]
-            verts = scene.prim_verts[prim]  # [N,4,3]
-            is_tri = (scene.prim_flags[prim] & FLAG_IS_TRIANGLE_SHAPE) != 0
+            # element tables, not scene prims: identical data in flat mode
+            # (elem_verts[e] == sorted_verts[inst_prim[e]]) and the only
+            # world-space source in instanced mode (scene.prim_verts are
+            # then shape-space)
+            eg = jnp.clip(off + elem, 0, lights.elem_verts.shape[0] - 1)
+            v12 = lights.elem_verts[eg]
+            verts = v12.reshape(v12.shape[:-1] + (4, 3))
+            is_tri = lights.elem_is_tri[eg]
         uv = jnp.where(is_tri[..., None], sample_triangle_uv(ruv), ruv)
         lpos = interpolate_quad(
             verts[..., 0, :], verts[..., 1, :], verts[..., 2, :], verts[..., 3, :],
@@ -376,16 +379,20 @@ def sample_lights(scene, lights: DeviceLights, counts: LightCounts, position, rl
 
     if counts.n_env > 0:
         ei = jnp.clip(lid - counts.n_instance, 0, counts.n_env - 1)
-        env_idx = lights.env_id[ei]
-        cnt = lights.env_cdf_count[ei]
-        off = lights.env_cdf_offset[ei]
-        texel = sample_discrete(
-            lights.env_cdf, off, jnp.maximum(cnt, 1), rel,
-            max_count=counts.max_env_texels,
-        )
-        tex_id = jnp.maximum(scene.env_emission_tex[env_idx], 0)
-        tex_dir = _env_texel_direction(scene, env_idx, texel, tex_id)
-        env_dir = jnp.where((cnt > 0)[..., None], tex_dir, sample_sphere(ruv))
+        if scene.textures.width.shape[0] == 0:
+            # untextured environments: uniform sphere only (no texel CDF)
+            env_dir = sample_sphere(ruv)
+        else:
+            env_idx = lights.env_id[ei]
+            cnt = lights.env_cdf_count[ei]
+            off = lights.env_cdf_offset[ei]
+            texel = sample_discrete(
+                lights.env_cdf, off, jnp.maximum(cnt, 1), rel,
+                max_count=counts.max_env_texels,
+            )
+            tex_id = jnp.maximum(scene.env_emission_tex[env_idx], 0)
+            tex_dir = _env_texel_direction(scene, env_idx, texel, tex_id)
+            env_dir = jnp.where((cnt > 0)[..., None], tex_dir, sample_sphere(ruv))
         direction = jnp.where((lid >= counts.n_instance)[..., None], env_dir, direction)
 
     return direction
@@ -395,6 +402,9 @@ def env_lights_pdf(scene, lights: DeviceLights, counts: LightCounts, direction):
     """Sum of env-light direction pdfs (src/trace.jl:1046-1078), without
     the final 1/L factor."""
     pdf = jnp.zeros(direction.shape[:-1], jnp.float32)
+    if scene.textures.width.shape[0] == 0:
+        # untextured environments sample the uniform sphere
+        return pdf + counts.n_env / (4.0 * PIF)
     for ei in range(counts.n_env):
         env_idx = lights.env_id[ei]
         cnt = lights.env_cdf_count[ei]

@@ -112,6 +112,13 @@ class SceneConfig(NamedTuple):
     host_prim_instance: object = None
     # filesystem key for cached preprocessing products (cluster tables)
     cache_key: str = ""
+    # two-level instancing (scene/instanced.py InstancedTables). When set,
+    # prim arrays are SHAPE-space (cluster-padded concat in kernel prim-id
+    # order) and hits carry the instance from the two-level intersector.
+    inst_tables: object = None
+    # world-space scene bounds (instanced mode: prim_verts are shape-space
+    # so the integrator cannot derive them)
+    world_bounds: object = None  # (lo[3], hi[3]) numpy or None
 
 
 def _inst_mat_dense(g, m) -> np.ndarray:
@@ -141,12 +148,108 @@ def _inst_mat_dense(g, m) -> np.ndarray:
     return out
 
 
+# expansion thresholds for automatic two-level instancing: only worth it
+# when flattening would both be huge AND mostly duplication (ecosys:
+# 16.8M expanded vs 620k shape prims = 27x; kitchen at 1.44M is 1x and
+# keeps the tuned single-level path)
+INSTANCING_MIN_FLAT = 4_000_000
+INSTANCING_MIN_RATIO = 4.0
+
+
+def _should_instance(scene_data) -> bool:
+    shape_prims = [
+        max(len(sh.quads), len(sh.triangles)) for sh in scene_data.shapes
+    ]
+    total = sum(shape_prims)
+    flat_total = 0
+    for inst in scene_data.instances:
+        if 0 <= inst.shape < len(shape_prims):
+            flat_total += shape_prims[inst.shape]
+    return (
+        flat_total >= INSTANCING_MIN_FLAT
+        and total > 0
+        and flat_total >= INSTANCING_MIN_RATIO * total
+    )
+
+
+def build_device_scene_instanced(
+    scene_data, sup: int = 32, cache_key: str = ""
+) -> tuple[DeviceScene, SceneConfig]:
+    """Two-level instanced build: per-shape cluster tables in shape space
+    + (instance, supercluster) work items (scene/instanced.py); the
+    flattened world expansion never happens. Reference semantics:
+    src/bvh.jl:306-371 (scene BVH over instances, ray transformed into
+    shape space at leaves)."""
+    from types import SimpleNamespace
+
+    from julia_raytracer_tpu.scene.instanced import (
+        build_instanced_tables, expand_emissive_world_prims,
+    )
+
+    flat = flatten_scene(scene_data, expand_prims=False)
+    g = flat.geometry
+    tables, eval_arrays = build_instanced_tables(scene_data, flat, sup=sup)
+
+    # light table from ONLY the emissive instances, expanded to world
+    epv, epin, epfl = expand_emissive_world_prims(scene_data, flat)
+    shim = SimpleNamespace(
+        geometry=SimpleNamespace(
+            prim_verts=epv, prim_instance=epin, prim_flags=epfl,
+            inst_material=g.inst_material,
+        ),
+        materials=flat.materials,
+        environments=flat.environments,
+        textures=flat.textures,
+        n_instances=flat.n_instances,
+        n_shapes=flat.n_shapes,
+    )
+    lights_np, light_counts = build_lights_np(shim, np.arange(len(epv)))
+    lights = DeviceLights(**{k: jnp.asarray(v) for k, v in lights_np.items()})
+    if light_counts.total_inst_elems > 0:
+        from julia_raytracer_tpu.render.lights import EXACT_ELEMS
+
+        assert light_counts.total_inst_elems <= EXACT_ELEMS, (
+            "instanced scenes require the exact light-pdf sweep "
+            f"({light_counts.total_inst_elems} emissive elements > {EXACT_ELEMS})"
+        )
+
+    wib = tables.wi_bbox
+    world_bounds = (
+        (wib[:, 0:3].min(axis=0), wib[:, 3:6].max(axis=0))
+        if len(wib)
+        else (np.zeros(3, np.float32), np.ones(3, np.float32))
+    )
+    return _assemble(
+        flat,
+        host_prim_verts=eval_arrays["prim_verts"],
+        host_prim_instance=np.zeros(1, np.int32),
+        sorted_vidx=eval_arrays["prim_vidx"],
+        sorted_flags=eval_arrays["prim_flags"],
+        nodes_np=np.zeros((1, 16), np.float32),
+        n_prims=tables.n_prims,
+        root_is_leaf=False,
+        lights=lights,
+        light_counts=light_counts,
+        cache_key=cache_key,
+        inst_tables=tables,
+        world_bounds=world_bounds,
+    )
+
+
 def build_device_scene(
-    scene_data, highquality_bvh: bool = False, cache_key: str = ""
+    scene_data, highquality_bvh: bool = False, cache_key: str = "",
+    instancing: bool = None,
 ) -> tuple[DeviceScene, SceneConfig]:
     """Host SceneData -> (DeviceScene, SceneConfig). Flattens, builds the
-    BVH, reorders primitives, and assembles the light table."""
+    BVH, reorders primitives, and assembles the light table. Scenes whose
+    flattening would mostly duplicate shared shapes (ecosys) switch to the
+    two-level instanced build automatically (`instancing` overrides)."""
     from julia_raytracer_tpu.utils import diskcache
+
+    if instancing is None:
+        instancing = _should_instance(scene_data)
+    if instancing:
+        return build_device_scene_instanced(scene_data, cache_key=cache_key)
 
     flat = flatten_scene(scene_data)
     g = flat.geometry
@@ -207,6 +310,29 @@ def build_device_scene(
                 save["L_" + k] = v
             diskcache.save_arrays(cache_key, "geom", save)
 
+    return _assemble(
+        flat,
+        host_prim_verts=host_prim_verts,
+        host_prim_instance=host_prim_instance,
+        sorted_vidx=sorted_vidx,
+        sorted_flags=sorted_flags,
+        nodes_np=nodes_np,
+        n_prims=n_prims,
+        root_is_leaf=root_is_leaf,
+        lights=lights,
+        light_counts=light_counts,
+        cache_key=cache_key,
+    )
+
+
+def _assemble(
+    flat, *, host_prim_verts, host_prim_instance, sorted_vidx, sorted_flags,
+    nodes_np, n_prims, root_is_leaf, lights, light_counts, cache_key,
+    inst_tables=None, world_bounds=None,
+) -> tuple[DeviceScene, SceneConfig]:
+    """Shared tail of the device-scene build: upload arrays and derive the
+    static SceneConfig (both flat and instanced modes)."""
+    g = flat.geometry
     m = flat.materials
     t = flat.textures
     e = flat.environments
@@ -282,5 +408,7 @@ def build_device_scene(
         host_prim_verts=host_prim_verts,
         host_prim_instance=host_prim_instance,
         cache_key=cache_key,
+        inst_tables=inst_tables,
+        world_bounds=world_bounds,
     )
     return dscene, config

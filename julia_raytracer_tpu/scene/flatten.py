@@ -32,7 +32,13 @@ FLAG_IS_TRIANGLE_SHAPE = 8  # true triangle mesh (affects light uv warp)
 
 @dataclass
 class FlatGeometry:
-    """Expanded world-space primitives + concatenated vertex attributes."""
+    """Expanded world-space primitives + concatenated vertex attributes.
+
+    In instanced mode (flatten_scene(expand_prims=False)) the prim arrays
+    hold each shape's primitives ONCE, in SHAPE space, concatenated in
+    shape order with `shape_prim_offset` bounds; prim_instance is then the
+    owning SHAPE id (hits carry the instance from the two-level
+    intersector instead)."""
 
     # per expanded primitive (count Q)
     prim_verts: np.ndarray  # f32 [Q, 4, 3] world-space corners
@@ -51,6 +57,8 @@ class FlatGeometry:
     inst_shape: np.ndarray  # i32 [I]
     # per shape (count S): expanded bookkeeping for lights
     shape_vert_offset: np.ndarray  # i32 [S+1] into concatenated vertex arrays
+    # instanced mode only: per-shape prim bounds into the prim arrays
+    shape_prim_offset: np.ndarray = None  # i64 [S+1] (None when expanded)
 
 
 @dataclass
@@ -111,7 +119,7 @@ def _shape_prims(shape) -> tuple[np.ndarray, bool]:
     return np.zeros((0, 4), np.int64), False
 
 
-def flatten_scene(scene: SceneData) -> FlatScene:
+def flatten_scene(scene: SceneData, expand_prims: bool = True) -> FlatScene:
     S = len(scene.shapes)
     shape_quads = []
     shape_is_tri = np.zeros(S, bool)
@@ -143,16 +151,32 @@ def flatten_scene(scene: SceneData) -> FlatScene:
     vert_texcoords = concat_attr("texcoords", 2, 0.0)
     vert_colors = concat_attr("colors", 4, 1.0)
 
+    def shape_flags(sid: int) -> int:
+        shape = scene.shapes[sid]
+        flags = 0
+        if len(shape.normals) == len(shape.positions) and len(shape.normals):
+            flags |= FLAG_HAS_NORMALS
+        if len(shape.texcoords) == len(shape.positions) and len(shape.texcoords):
+            flags |= FLAG_HAS_TEXCOORDS
+        if len(shape.colors) == len(shape.positions) and len(shape.colors):
+            flags |= FLAG_HAS_COLORS
+        if shape_is_tri[sid]:
+            flags |= FLAG_IS_TRIANGLE_SHAPE
+        return flags
+
     # expand instances to world-space primitives
     pv, pvi, pin, pel, pfl = [], [], [], [], []
     I = len(scene.instances)
     inst_frame = np.zeros((max(I, 1), 4, 3), np.float32)
     inst_material = np.zeros(max(I, 1), np.int32)
     inst_shape = np.zeros(max(I, 1), np.int32)
+    shape_prim_offset = None
     for i, inst in enumerate(scene.instances):
         inst_frame[i] = inst.frame
         inst_material[i] = inst.material
         inst_shape[i] = inst.shape
+        if not expand_prims:
+            continue
         if inst.shape == INVALID_ID or inst.shape >= S:
             continue
         shape = scene.shapes[inst.shape]
@@ -163,20 +187,27 @@ def flatten_scene(scene: SceneData) -> FlatScene:
         world = shape.positions[quads.reshape(-1)].reshape(-1, 4, 3)
         rot, org = inst.frame[:3], inst.frame[3]
         world = world @ rot + org  # transform_point (src/math.jl:80-81)
-        flags = 0
-        if len(shape.normals) == len(shape.positions) and len(shape.normals):
-            flags |= FLAG_HAS_NORMALS
-        if len(shape.texcoords) == len(shape.positions) and len(shape.texcoords):
-            flags |= FLAG_HAS_TEXCOORDS
-        if len(shape.colors) == len(shape.positions) and len(shape.colors):
-            flags |= FLAG_HAS_COLORS
-        if shape_is_tri[inst.shape]:
-            flags |= FLAG_IS_TRIANGLE_SHAPE
+        flags = shape_flags(inst.shape)
         pv.append(world.astype(np.float32))
         pvi.append(gidx.astype(np.int32))
         pin.append(np.full(len(quads), i, np.int32))
         pel.append(np.arange(len(quads), dtype=np.int32))
         pfl.append(np.full(len(quads), flags, np.int32))
+
+    if not expand_prims:
+        # instanced mode: each shape's prims once, in SHAPE space
+        shape_prim_offset = np.zeros(S + 1, np.int64)
+        for sid, shape in enumerate(scene.shapes):
+            quads = shape_quads[sid]
+            shape_prim_offset[sid + 1] = shape_prim_offset[sid] + len(quads)
+            if len(quads) == 0:
+                continue
+            local = shape.positions[quads.reshape(-1)].reshape(-1, 4, 3)
+            pv.append(local.astype(np.float32))
+            pvi.append((quads + vert_offset[sid]).astype(np.int32))
+            pin.append(np.full(len(quads), sid, np.int32))  # shape id
+            pel.append(np.arange(len(quads), dtype=np.int32))
+            pfl.append(np.full(len(quads), shape_flags(sid), np.int32))
 
     if pv:
         prim_verts = np.concatenate(pv, axis=0)
@@ -205,6 +236,7 @@ def flatten_scene(scene: SceneData) -> FlatScene:
         inst_material=inst_material,
         inst_shape=inst_shape,
         shape_vert_offset=vert_offset.astype(np.int64),
+        shape_prim_offset=shape_prim_offset,
     )
 
     M = len(scene.materials)

@@ -1,0 +1,275 @@
+"""Two-level instanced scene build (host side).
+
+The reference keeps a scene BVH over instances and per-shape BVHs,
+transforming each ray into shape space at instance leaves
+(src/bvh.jl:306-371, :493-520). Flattening (scene/flatten.py) erases
+that sharing: ecosys (12,755 instances over 141 shapes) explodes from
+620k shape primitives to 16.8M world primitives and ~2 GB of device
+tables.
+
+The TPU-native two-level design keeps each shape's cluster tables ONCE,
+in shape space, and models instancing as WORK ITEMS: one (instance,
+shape-supercluster) pair per item, with a world-space bbox for culling.
+The instanced Pallas kernel streams per-item tables + the instance's
+inverse transform via scalar-prefetch index maps, transforms each ray
+block into shape space in-register (t is preserved because directions
+are not renormalized: M(o + t d) = Mo + t Md), and merges hits against
+the running best-t. Eval-side prim arrays hold the shape-space
+primitives in the same (morton-ordered, cluster-padded) layout the
+kernel's emitted prim ids index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from julia_raytracer_tpu.ops.bvh import _morton3
+from julia_raytracer_tpu.scene.flatten import FlatScene
+from julia_raytracer_tpu.scene.types import INVALID_ID
+
+
+@dataclass
+class InstancedTables:
+    """Host-side products of the instanced build (numpy; device upload
+    happens in the intersector factory)."""
+
+    sup: int  # clusters per supercluster (work-item granularity)
+    # concatenated per-shape cluster tables (shape space)
+    tab: np.ndarray  # f32 [total_sup, sup, 16, TRIS] transforms+normals
+    bbox: np.ndarray  # f32 [total_sup, sup, 8] cluster bboxes
+    # work items (one per live (instance, supercluster) pair)
+    wi_sup: np.ndarray  # i32 [Nis] global supercluster id
+    wi_inst: np.ndarray  # i32 [Nis] instance id
+    wi_bbox: np.ndarray  # f32 [Nis, 6] world bbox
+    # per-instance transform rows:
+    # [0:9] inverse rotation Ri (row-major; obj = world @ Ri + oi)
+    # [9:12] oi, [12:21] forward rotation R (normals: n_w = n_s @ R)
+    inst_rows: np.ndarray  # f32 [I, 24]
+    # eval-side layout
+    n_prims: int  # padded concat prim count (kernel prim-id space)
+    shape_sup_offset: np.ndarray  # i64 [S+1]
+
+
+def _shape_morton_order(verts: np.ndarray) -> np.ndarray:
+    """Within-shape Morton order of prim centroids (cluster coherence)."""
+    if len(verts) <= 1:
+        return np.arange(len(verts), dtype=np.int64)
+    cen = verts.mean(axis=1)
+    lo = cen.min(axis=0)
+    ext = np.maximum(cen.max(axis=0) - lo, 1e-30)
+    qv = np.clip(((cen - lo) / ext) * ((1 << 21) - 1), 0, (1 << 21) - 1)
+    return np.argsort(_morton3(qv.astype(np.uint64)), kind="stable")
+
+
+def build_instanced_tables(
+    scene, flat: FlatScene, sup: int = 32
+) -> tuple[InstancedTables, dict]:
+    """Build instanced cluster tables + work items from a non-expanded
+    flatten (flatten_scene(expand_prims=False)).
+
+    Returns (tables, eval_arrays) where eval_arrays holds the
+    morton-ordered cluster-padded shape-space prim arrays
+    (prim_verts/prim_vidx/prim_flags) the kernel's prim ids index.
+    """
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        PRIMS_PER_CLUSTER, TRIS, build_cluster_tables,
+    )
+
+    g = flat.geometry
+    off = g.shape_prim_offset
+    assert off is not None, "need flatten_scene(expand_prims=False)"
+    S = flat.n_shapes
+    I = flat.n_instances
+
+    tab_parts, bbox_parts = [], []
+    pv_parts, pvi_parts, pfl_parts = [], [], []
+    shape_sup_offset = np.zeros(S + 1, np.int64)
+    # per-shape supercluster bboxes in shape space (for work items)
+    shape_sup_bbox: list[np.ndarray] = []
+    prim_base = 0
+    NOHIT = np.float32(3e38)
+
+    for sid in range(S):
+        lo, hi = int(off[sid]), int(off[sid + 1])
+        p = hi - lo
+        if p == 0:
+            shape_sup_offset[sid + 1] = shape_sup_offset[sid]
+            shape_sup_bbox.append(np.zeros((0, 6), np.float32))
+            continue
+        order = _shape_morton_order(g.prim_verts[lo:hi])
+        verts = g.prim_verts[lo:hi][order]
+        tfm, nrm, cbbox, c = build_cluster_tables(verts)
+        c_pad = -(-c // sup) * sup
+        if c_pad > c:
+            pt = np.zeros((c_pad - c, 12, TRIS), np.float32)
+            pt[:, 11, :] = 1.0  # never-hit transforms
+            tfm = np.concatenate([tfm, pt], axis=0)
+            nrm = np.concatenate(
+                [nrm, np.zeros((c_pad - c, 4, TRIS), np.float32)], axis=0
+            )
+            pb = np.zeros((c_pad - c, 8), np.float32)
+            pb[:, 0:6] = NOHIT
+            cbbox = np.concatenate([cbbox, pb], axis=0)
+        ns = c_pad // sup
+        tab_parts.append(
+            np.concatenate([tfm, nrm], axis=1).reshape(ns, sup, 16, TRIS)
+        )
+        bbox_parts.append(cbbox.reshape(ns, sup, 8))
+        # supercluster shape-space bbox (never-hit padding excluded)
+        cb = cbbox.reshape(ns, sup, 8)
+        real = cb[:, :, 0] < NOHIT  # [ns, sup]
+        blo = np.where(real[..., None], cb[:, :, 0:3], np.inf).min(axis=1)
+        bhi = np.where(real[..., None], cb[:, :, 3:6], -np.inf).max(axis=1)
+        shape_sup_bbox.append(
+            np.concatenate([blo, bhi], axis=1).astype(np.float32)
+        )
+        shape_sup_offset[sid + 1] = shape_sup_offset[sid] + ns
+
+        # eval arrays in kernel prim-id order (padded to c_pad*64)
+        p_pad = c_pad * PRIMS_PER_CLUSTER
+        pv = np.zeros((p_pad, 4, 3), np.float32)
+        pv[:p] = verts
+        pvi = np.zeros((p_pad, 4), np.int32)
+        pvi[:p] = g.prim_vidx[lo:hi][order]
+        pfl = np.zeros(p_pad, np.int32)
+        pfl[:p] = g.prim_flags[lo:hi][order]
+        pv_parts.append(pv)
+        pvi_parts.append(pvi)
+        pfl_parts.append(pfl)
+        prim_base += p_pad
+
+    tab = (
+        np.concatenate(tab_parts, axis=0)
+        if tab_parts
+        else np.zeros((0, sup, 16, TRIS), np.float32)
+    )
+    bbox = (
+        np.concatenate(bbox_parts, axis=0)
+        if bbox_parts
+        else np.zeros((0, sup, 8), np.float32)
+    )
+
+    # per-instance transform rows (rigid-or-affine inverse for rays,
+    # forward rotation for normals, matching transform_normal's rigid
+    # semantics src/math.jl:124-125)
+    inst_rows = np.zeros((max(I, 1), 24), np.float32)
+    for i in range(I):
+        rot = g.inst_frame[i, :3].astype(np.float64)  # world = obj @ rot + org
+        org = g.inst_frame[i, 3].astype(np.float64)
+        ri = np.linalg.inv(rot)
+        inst_rows[i, 0:9] = ri.reshape(-1)
+        inst_rows[i, 9:12] = -(org @ ri)
+        inst_rows[i, 12:21] = rot.reshape(-1)
+
+    # work items: vectorized per shape over its instances
+    inst_shape = g.inst_shape[:I] if I else np.zeros(0, np.int32)
+    valid = (inst_shape != INVALID_ID) & (inst_shape >= 0) & (inst_shape < S)
+    wi_sup_l, wi_inst_l, wi_bbox_l = [], [], []
+    for sid in range(S):
+        ns = int(shape_sup_offset[sid + 1] - shape_sup_offset[sid])
+        if ns == 0:
+            continue
+        members = np.nonzero(valid & (inst_shape == sid))[0]
+        if len(members) == 0:
+            continue
+        sb = shape_sup_bbox[sid]  # [ns, 6]
+        # 8 corners of each supercluster bbox
+        corners = np.stack(
+            [
+                sb[:, [0, 1, 2]], sb[:, [3, 1, 2]], sb[:, [0, 4, 2]],
+                sb[:, [0, 1, 5]], sb[:, [3, 4, 2]], sb[:, [3, 1, 5]],
+                sb[:, [0, 4, 5]], sb[:, [3, 4, 5]],
+            ],
+            axis=1,
+        )  # [ns, 8, 3]
+        rots = g.inst_frame[members, :3]  # [m, 3, 3]
+        orgs = g.inst_frame[members, 3]  # [m, 3]
+        wc = np.einsum("nkj,mji->mnki", corners, rots) + orgs[:, None, None, :]
+        blo = wc.min(axis=2)  # [m, ns, 3]
+        bhi = wc.max(axis=2)
+        m = len(members)
+        wi_sup_l.append(
+            np.tile(
+                np.arange(ns, dtype=np.int32) + np.int32(shape_sup_offset[sid]),
+                m,
+            )
+        )
+        wi_inst_l.append(np.repeat(members.astype(np.int32), ns))
+        wi_bbox_l.append(
+            np.concatenate([blo, bhi], axis=-1).reshape(m * ns, 6).astype(np.float32)
+        )
+
+    wi_sup = np.concatenate(wi_sup_l) if wi_sup_l else np.zeros(0, np.int32)
+    wi_inst = np.concatenate(wi_inst_l) if wi_inst_l else np.zeros(0, np.int32)
+    wi_bbox = (
+        np.concatenate(wi_bbox_l, axis=0) if wi_bbox_l else np.zeros((0, 6), np.float32)
+    )
+
+    tables = InstancedTables(
+        sup=sup,
+        tab=tab,
+        bbox=bbox,
+        wi_sup=wi_sup,
+        wi_inst=wi_inst,
+        wi_bbox=wi_bbox,
+        inst_rows=inst_rows,
+        n_prims=prim_base,
+        shape_sup_offset=shape_sup_offset,
+    )
+    eval_arrays = dict(
+        prim_verts=(
+            np.concatenate(pv_parts, axis=0)
+            if pv_parts
+            else np.zeros((0, 4, 3), np.float32)
+        ),
+        prim_vidx=(
+            np.concatenate(pvi_parts, axis=0)
+            if pvi_parts
+            else np.zeros((0, 4), np.int32)
+        ),
+        prim_flags=(
+            np.concatenate(pfl_parts) if pfl_parts else np.zeros(0, np.int32)
+        ),
+    )
+    return tables, eval_arrays
+
+
+def expand_emissive_world_prims(scene, flat: FlatScene):
+    """World-space expansion of ONLY the emissive instances' primitives —
+    the light-table input for instanced scenes (the full expansion is
+    exactly what instancing avoids; lights are always few)."""
+    g = flat.geometry
+    m = flat.materials
+    off = g.shape_prim_offset
+    emissive_mat = (
+        (np.abs(m.emission).sum(axis=1) > 0) if len(m.emission) else np.zeros(0, bool)
+    )
+    pv, pin, pfl = [], [], []
+    for i in range(flat.n_instances):
+        mat = g.inst_material[i]
+        sid = g.inst_shape[i]
+        if mat < 0 or mat >= len(emissive_mat) or not emissive_mat[mat]:
+            continue
+        if sid == INVALID_ID or sid < 0 or sid >= flat.n_shapes:
+            continue
+        lo, hi = int(off[sid]), int(off[sid + 1])
+        if hi == lo:
+            continue
+        rot, org = g.inst_frame[i, :3], g.inst_frame[i, 3]
+        world = g.prim_verts[lo:hi] @ rot + org
+        pv.append(world.astype(np.float32))
+        pin.append(np.full(hi - lo, i, np.int32))
+        pfl.append(g.prim_flags[lo:hi])
+    if pv:
+        return (
+            np.concatenate(pv, axis=0),
+            np.concatenate(pin),
+            np.concatenate(pfl),
+        )
+    return (
+        np.zeros((0, 4, 3), np.float32),
+        np.zeros(0, np.int32),
+        np.zeros(0, np.int32),
+    )
