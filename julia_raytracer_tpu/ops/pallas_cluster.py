@@ -1157,9 +1157,9 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int):
         def _():
             # ray block world -> shape space (obj = world @ Ri + oi;
             # inst_rows layout scene/instanced.py)
-            ri = [xf_ref[0, j] for j in range(9)]
-            oi = [xf_ref[0, 9 + j] for j in range(3)]
-            fw = [xf_ref[0, 12 + j] for j in range(9)]
+            ri = [xf_ref[0, 0, j] for j in range(9)]
+            oi = [xf_ref[0, 0, 9 + j] for j in range(3)]
+            fw = [xf_ref[0, 0, 12 + j] for j in range(9)]
             ox = wox * ri[0] + woy * ri[3] + woz * ri[6] + oi[0]
             oy = wox * ri[1] + woy * ri[4] + woz * ri[7] + oi[1]
             oz = wox * ri[2] + woy * ri[5] + woz * ri[8] + oi[2]
@@ -1318,7 +1318,7 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
 
     tab_d = jnp.asarray(tables.tab)
     bbox_d = jnp.asarray(tables.bbox)
-    xf_d = jnp.asarray(tables.inst_rows)
+    xf_d = jnp.asarray(tables.inst_rows).reshape(-1, 1, 24)
     wsup_d = jnp.asarray(
         tables.wi_sup if len(tables.wi_sup) else np.zeros(1, np.int32)
     )
@@ -1356,8 +1356,10 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
                     lambda i, k, wq, c, ws, wi: (ws[wq[i, k]], 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+                # [I, 1, 24] with block (1, 1, 24): the trailing two block
+                # dims equal the array dims, satisfying TPU (8, 128) tiling
                 pl.BlockSpec(
-                    (1, 24), lambda i, k, wq, c, ws, wi: (wi[wq[i, k]], 0),
+                    (1, 1, 24), lambda i, k, wq, c, ws, wi: (wi[wq[i, k]], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
