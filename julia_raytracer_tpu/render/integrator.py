@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from julia_raytracer_tpu.ops import bsdf as bsdf_ops
 from julia_raytracer_tpu.ops import eval as eval_ops
 from julia_raytracer_tpu.ops.geometry import F32_MAX, RAY_EPS
-from julia_raytracer_tpu.ops.traversal import intersect_bruteforce, intersect_bvh
+from julia_raytracer_tpu.ops.traversal import (
+    Hit, intersect_bruteforce, intersect_bvh,
+)
 from julia_raytracer_tpu.render import dispatch, lights as lights_mod
 from julia_raytracer_tpu.render.scene_device import DeviceScene, SceneConfig
 from julia_raytracer_tpu.utils import rng as rng_mod
@@ -155,6 +157,91 @@ def make_intersect_instanced_ref(dscene: DeviceScene, config: SceneConfig):
     return intersect
 
 
+def curve_wrap(intersect, dscene: DeviceScene, config: SceneConfig):
+    """Merge line/point (capsule) primitives into a quad intersector's
+    closest hit (src/geometry.jl:113-172, src/bvh.jl:408-443). Curve hits
+    are encoded as prim ids >= Q (Q..Q+L-1 lines, then points); their
+    `position` is the element point — interpolate_line(p1,p2,u) / the
+    point center — matching eval_position (src/scene.jl:465-475), and
+    `gnormal` carries the interpolated tangent (lines) / outgoing
+    (points) for the shading-normal rules (src/scene.jl:511-518)."""
+    from julia_raytracer_tpu.ops.geometry import intersect_line, intersect_point
+    from julia_raytracer_tpu.utils.vecmath import normalize
+
+    L, P = config.n_lines, config.n_points
+    if L == 0 and P == 0:
+        return intersect
+    Q = dscene.prim_verts.shape[0]
+
+    def wrapped(ro, rd, tmin, tmax):
+        if Q > 0:
+            h = intersect(ro, rd, tmin, tmax)
+        else:
+            n = ro.shape[0]
+            z = jnp.zeros(n, jnp.float32)
+            h = Hit(jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32), z, z,
+                    tmax, jnp.zeros((n, 3), jnp.float32),
+                    jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, jnp.int32))
+        best = h
+        bt = jnp.where(best.hit, best.t, tmax)
+        if L > 0:
+            p1 = dscene.line_verts[None, :, 0]  # [1, L, 3]
+            p2 = dscene.line_verts[None, :, 1]
+            r1 = dscene.line_radius[None, :, 0]
+            r2 = dscene.line_radius[None, :, 1]
+            lh, ls, lv, lt = intersect_line(
+                ro[:, None], rd[:, None], tmin[:, None], bt[:, None],
+                p1, p2, r1, r2,
+            )  # each [n, L]
+            lt = jnp.where(lh, lt, F32_MAX)
+            li = jnp.argmin(lt, axis=1)
+            ltb = jnp.take_along_axis(lt, li[:, None], axis=1)[:, 0]
+            upd = ltb < bt
+            take = lambda a: jnp.take_along_axis(a, li[:, None], axis=1)[:, 0]
+            s_ = take(ls)
+            v_ = take(lv)
+            lp1 = dscene.line_verts[li, 0]
+            lp2 = dscene.line_verts[li, 1]
+            axis_pt = lp1 + (lp2 - lp1) * s_[:, None]
+            tan = normalize(
+                dscene.line_attr[li, 0, 0:3] * (1.0 - s_[:, None])
+                + dscene.line_attr[li, 1, 0:3] * s_[:, None]
+            )
+            best = Hit(
+                hit=best.hit | upd,
+                prim=jnp.where(upd, Q + li.astype(jnp.int32), best.prim),
+                u=jnp.where(upd, s_, best.u),
+                v=jnp.where(upd, v_, best.v),
+                t=jnp.where(upd, ltb, best.t),
+                position=jnp.where(upd[:, None], axis_pt, best.position),
+                gnormal=jnp.where(upd[:, None], tan, best.gnormal),
+                instance=jnp.where(upd, dscene.line_instance[li], best.instance),
+            )
+            bt = jnp.where(best.hit, best.t, tmax)
+        if P > 0:
+            ph, pt = intersect_point(
+                ro[:, None], rd[:, None], tmin[:, None], bt[:, None],
+                dscene.point_pos[None], dscene.point_radius[None],
+            )
+            pt = jnp.where(ph, pt, F32_MAX)
+            pi = jnp.argmin(pt, axis=1)
+            ptb = jnp.take_along_axis(pt, pi[:, None], axis=1)[:, 0]
+            upd = ptb < bt
+            best = Hit(
+                hit=best.hit | upd,
+                prim=jnp.where(upd, Q + L + pi.astype(jnp.int32), best.prim),
+                u=jnp.where(upd, 0.0, best.u),
+                v=jnp.where(upd, 0.0, best.v),
+                t=jnp.where(upd, ptb, best.t),
+                position=jnp.where(upd[:, None], dscene.point_pos[pi], best.position),
+                gnormal=jnp.where(upd[:, None], -normalize(rd), best.gnormal),
+                instance=jnp.where(upd, dscene.point_instance[pi], best.instance),
+            )
+        return best
+
+    return wrapped
+
+
 def make_intersect(dscene: DeviceScene, config: SceneConfig):
     """Closest-hit query against the device scene (traceable; reads the
     possibly-traced dscene arrays). Tiny scenes use the dense brute-force
@@ -173,7 +260,7 @@ def make_intersect(dscene: DeviceScene, config: SceneConfig):
                 dscene.nodes, dscene.prim_verts, ro, rd, tmin, tmax,
                 prim_instance=dscene.prim_instance,
             )
-    return intersect
+    return curve_wrap(intersect, dscene, config)
 
 
 def build_intersector(dscene: DeviceScene, config: SceneConfig):
@@ -205,7 +292,10 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
         if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
             from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
 
-            return make_bruteforce_pallas(np.asarray(verts_np), inst_np)
+            return curve_wrap(
+                make_bruteforce_pallas(np.asarray(verts_np), inst_np),
+                dscene, config,
+            )
         from julia_raytracer_tpu.ops.pallas_cluster import (
             make_cluster_intersect_worklist,
         )
@@ -213,8 +303,11 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
         # per-block supercluster work lists + front-to-back early
         # termination: occupancy scales with each block's visible set,
         # not scene size — one kernel covers everything non-tiny
-        return make_cluster_intersect_worklist(
-            np.asarray(verts_np), inst_np, cache_key=config.cache_key
+        return curve_wrap(
+            make_cluster_intersect_worklist(
+                np.asarray(verts_np), inst_np, cache_key=config.cache_key
+            ),
+            dscene, config,
         )
     return make_intersect(dscene, config)
 
@@ -411,6 +504,30 @@ def trace_wavefront(
             shp_color = eval_ops.eval_color_attr(dscene, vidx, flags, u, v)
         else:
             shp_color = jnp.ones(u.shape + (4,), jnp.float32)
+        # ---- curve/point attribute overrides (prim ids >= Q encode
+        # lines then points; see curve_wrap)
+        has_curves = config.n_lines > 0 or config.n_points > 0
+        if has_curves:
+            Q = dscene.prim_verts.shape[0]
+            is_line = s.isec_hit & (s.isec_prim >= Q) & (
+                s.isec_prim < Q + config.n_lines
+            )
+            is_point = s.isec_hit & (s.isec_prim >= Q + config.n_lines)
+            if config.n_lines > 0:
+                li = jnp.clip(s.isec_prim - Q, 0, config.n_lines - 1)
+                lat = dscene.line_attr[li]  # [n, 2, 9]
+                wu = u[:, None]
+                l_tc = lat[:, 0, 3:5] * (1.0 - wu) + lat[:, 1, 3:5] * wu
+                l_col = lat[:, 0, 5:9] * (1.0 - wu) + lat[:, 1, 5:9] * wu
+                texcoord = jnp.where(_vec(is_line), l_tc, texcoord)
+                shp_color = jnp.where(_vec(is_line), l_col, shp_color)
+            if config.n_points > 0:
+                pi = jnp.clip(
+                    s.isec_prim - Q - config.n_lines, 0, config.n_points - 1
+                )
+                pat = dscene.point_attr[pi]  # [n, 9]
+                texcoord = jnp.where(_vec(is_point), pat[:, 3:5], texcoord)
+                shp_color = jnp.where(_vec(is_point), pat[:, 5:9], shp_color)
         # gather-free material eval for small scenes (select-chain over the
         # folded per-instance table); disabled in differentiable
         # (fixed-trip) mode where grads flow through dscene.materials,
@@ -438,6 +555,18 @@ def trace_wavefront(
             with_vertex_normals=config.has_vertex_normals,
             refractive_present=int(4) in config.present_types,
         )
+        if has_curves:
+            # lines: frame the tangent against the view
+            # (orthonormalize(outgoing, tangent), src/scene.jl:511-515);
+            # points: normal IS the outgoing direction (:516-518)
+            from julia_raytracer_tpu.utils.vecmath import orthonormalize
+
+            if config.n_lines > 0:
+                normal = jnp.where(
+                    _vec(is_line), orthonormalize(outgoing, s.isec_gn), normal
+                )
+            if config.n_points > 0:
+                normal = jnp.where(_vec(is_point), outgoing, normal)
 
         max_roughness = s.max_roughness
         if is_path and options.nocaustics:

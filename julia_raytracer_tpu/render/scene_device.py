@@ -80,6 +80,16 @@ class DeviceScene(NamedTuple):
     #  scattering*3, scanisotropy, trdepth, opacity,
     #  emission_tex, color_tex, roughness_tex, scattering_tex, normal_tex]
     inst_mat_dense: jnp.ndarray
+    # curve/point primitives, world space (src/geometry.jl:113-172;
+    # attr rows = [normal-or-tangent 3, texcoord 2, color 4])
+    line_verts: jnp.ndarray  # f32 [L, 2, 3]
+    line_radius: jnp.ndarray  # f32 [L, 2]
+    line_instance: jnp.ndarray  # i32 [L]
+    line_attr: jnp.ndarray  # f32 [L, 2, 9]
+    point_pos: jnp.ndarray  # f32 [P, 3]
+    point_radius: jnp.ndarray  # f32 [P]
+    point_instance: jnp.ndarray  # i32 [P]
+    point_attr: jnp.ndarray  # f32 [P, 9]
 
 
 class SceneConfig(NamedTuple):
@@ -119,6 +129,14 @@ class SceneConfig(NamedTuple):
     # world-space scene bounds (instanced mode: prim_verts are shape-space
     # so the integrator cannot derive them)
     world_bounds: object = None  # (lo[3], hi[3]) numpy or None
+    # curve/point primitive counts (0 = paths statically absent)
+    n_lines: int = 0
+    n_points: int = 0
+
+
+def _opt(a, shape, dtype=np.float32) -> np.ndarray:
+    """None-safe array default (older FlatGeometry pickles lack curves)."""
+    return a if a is not None else np.zeros(shape, dtype)
 
 
 def _inst_mat_dense(g, m) -> np.ndarray:
@@ -378,6 +396,14 @@ def _assemble(
         env_emission_tex=jnp.asarray(e.emission_tex),
         lights=lights,
         inst_mat_dense=jnp.asarray(_inst_mat_dense(g, m)),
+        line_verts=jnp.asarray(_opt(g.line_verts, (0, 2, 3))),
+        line_radius=jnp.asarray(_opt(g.line_radius, (0, 2))),
+        line_instance=jnp.asarray(_opt(g.line_instance, (0,), np.int32)),
+        line_attr=jnp.asarray(_opt(g.line_attr, (0, 2, 9))),
+        point_pos=jnp.asarray(_opt(g.point_pos, (0, 3))),
+        point_radius=jnp.asarray(_opt(g.point_radius, (0,))),
+        point_instance=jnp.asarray(_opt(g.point_instance, (0,), np.int32)),
+        point_attr=jnp.asarray(_opt(g.point_attr, (0, 9))),
     )
     from julia_raytracer_tpu.scene.flatten import (
         FLAG_HAS_COLORS,
@@ -410,5 +436,7 @@ def _assemble(
         cache_key=cache_key,
         inst_tables=inst_tables,
         world_bounds=world_bounds,
+        n_lines=len(_opt(g.line_instance, (0,), np.int32)),
+        n_points=len(_opt(g.point_instance, (0,), np.int32)),
     )
     return dscene, config

@@ -59,6 +59,18 @@ class FlatGeometry:
     shape_vert_offset: np.ndarray  # i32 [S+1] into concatenated vertex arrays
     # instanced mode only: per-shape prim bounds into the prim arrays
     shape_prim_offset: np.ndarray = None  # i64 [S+1] (None when expanded)
+    # curve/point primitives, world-space expanded (reference
+    # src/geometry.jl:113-172, src/bvh.jl:408-443). Each line end / point
+    # carries (tangent-or-normal[3], texcoord[2], color[4]) resolved at
+    # flatten time so shading needs no vertex gathers.
+    line_verts: np.ndarray = None  # f32 [L, 2, 3]
+    line_radius: np.ndarray = None  # f32 [L, 2]
+    line_instance: np.ndarray = None  # i32 [L]
+    line_attr: np.ndarray = None  # f32 [L, 2, 9]
+    point_pos: np.ndarray = None  # f32 [P, 3]
+    point_radius: np.ndarray = None  # f32 [P]
+    point_instance: np.ndarray = None  # i32 [P]
+    point_attr: np.ndarray = None  # f32 [P, 9]
 
 
 @dataclass
@@ -194,6 +206,87 @@ def flatten_scene(scene: SceneData, expand_prims: bool = True) -> FlatScene:
         pel.append(np.arange(len(quads), dtype=np.int32))
         pfl.append(np.full(len(quads), flags, np.int32))
 
+    # curve/point primitives (expanded mode only; no corpus scene mixes
+    # instancing-scale duplication with hair). Attr rows: [normal-or-
+    # tangent 3, texcoord 2, color 4], resolved per end at flatten time.
+    lv, lr, li_, la, pp, pr, pi_, pa = [], [], [], [], [], [], [], []
+    if expand_prims:
+        for i, inst in enumerate(scene.instances):
+            if inst.shape == INVALID_ID or inst.shape >= S:
+                continue
+            shape = scene.shapes[inst.shape]
+            if len(shape.lines) == 0 and len(shape.points) == 0:
+                continue
+            rot, org = inst.frame[:3], inst.frame[3]
+            # world radius scale: mean basis-vector length (1 for rigid)
+            rscale = float(np.linalg.norm(rot, axis=1).mean())
+            n_verts = len(shape.positions)
+            has_n = len(shape.normals) == n_verts and n_verts > 0
+            has_tc = len(shape.texcoords) == n_verts and n_verts > 0
+            has_c = len(shape.colors) == n_verts and n_verts > 0
+            radius = (
+                shape.radius
+                if len(shape.radius) == n_verts
+                else np.full(n_verts, 0.001, np.float32)
+            )
+
+            def end_attr(vid):
+                a = np.zeros((len(vid), 9), np.float32)
+                if has_n:
+                    a[:, 0:3] = shape.normals[vid] @ rot  # transform_normal
+                a[:, 3:5] = shape.texcoords[vid] if has_tc else 0.0
+                a[:, 5:9] = shape.colors[vid] if has_c else 1.0
+                return a
+
+            if len(shape.lines):
+                l_ = shape.lines.astype(np.int64)
+                w = shape.positions[l_.reshape(-1)].reshape(-1, 2, 3) @ rot + org
+                if not has_n:
+                    tan = w[:, 1] - w[:, 0]
+                    tan = tan / np.maximum(
+                        np.linalg.norm(tan, axis=1, keepdims=True), 1e-12
+                    )
+                a0, a1 = end_attr(l_[:, 0]), end_attr(l_[:, 1])
+                if not has_n:
+                    a0[:, 0:3] = tan
+                    a1[:, 0:3] = tan
+                lv.append(w.astype(np.float32))
+                lr.append(
+                    (radius[l_] * rscale).astype(np.float32).reshape(-1, 2)
+                )
+                li_.append(np.full(len(l_), i, np.int32))
+                la.append(np.stack([a0, a1], axis=1))
+            if len(shape.points):
+                p_ = shape.points.astype(np.int64).reshape(-1)
+                w = shape.positions[p_] @ rot + org
+                ap = end_attr(p_)
+                if not has_n:
+                    ap[:, 0:3] = np.array([0.0, 0.0, 1.0], np.float32)
+                pp.append(w.astype(np.float32))
+                pr.append((radius[p_] * rscale).astype(np.float32))
+                pi_.append(np.full(len(p_), i, np.int32))
+                pa.append(ap)
+
+    def cat(parts, empty_shape):
+        return (
+            np.concatenate(parts, axis=0)
+            if parts
+            else np.zeros(empty_shape, np.float32)
+        )
+
+    line_verts = cat(lv, (0, 2, 3))
+    line_radius = cat(lr, (0, 2))
+    line_instance = (
+        np.concatenate(li_) if li_ else np.zeros(0, np.int32)
+    )
+    line_attr = cat(la, (0, 2, 9))
+    point_pos = cat(pp, (0, 3))
+    point_radius = cat(pr, (0,))
+    point_instance = (
+        np.concatenate(pi_) if pi_ else np.zeros(0, np.int32)
+    )
+    point_attr = cat(pa, (0, 9))
+
     if not expand_prims:
         # instanced mode: each shape's prims once, in SHAPE space
         shape_prim_offset = np.zeros(S + 1, np.int64)
@@ -237,6 +330,14 @@ def flatten_scene(scene: SceneData, expand_prims: bool = True) -> FlatScene:
         inst_shape=inst_shape,
         shape_vert_offset=vert_offset.astype(np.int64),
         shape_prim_offset=shape_prim_offset,
+        line_verts=line_verts,
+        line_radius=line_radius,
+        line_instance=line_instance,
+        line_attr=line_attr,
+        point_pos=point_pos,
+        point_radius=point_radius,
+        point_instance=point_instance,
+        point_attr=point_attr,
     )
 
     M = len(scene.materials)
