@@ -780,28 +780,37 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
         inv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
         idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
 
+        def row_slab(r, bmin, bmax):
+            """Slab test of row r's 128 lanes vs per-cluster boxes
+            ([K, 1] mins/maxes) or one box (scalars): [K-or-1, LANES]."""
+            enter = None
+            exit_ = None
+            for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
+                t0 = (bmin[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                t1 = (bmax[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                lo = jnp.minimum(t0, t1)
+                hi = jnp.maximum(t0, t1)
+                enter = lo if enter is None else jnp.maximum(enter, lo)
+                exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
+            enter = jnp.maximum(enter, tmin[r:r + 1, :])
+            best = jnp.minimum(tmax[r:r + 1, :], bt_ref[r:r + 1, :])
+            exit_ = jnp.minimum(exit_, best)
+            return enter <= exit_ * jnp.float32(1.00000024)
+
         def cull(bm):
             """bm [K, 8] -> per-(cluster, row) hit mask [K, ROWS] i32,
             culled against the CURRENT best hit: the work list visits
             superclusters front-to-back, so once near geometry is hit,
-            farther clusters fail `enter <= min(exit, best_t)`."""
+            farther clusters fail `enter <= min(exit, best_t)`.
+
+            (A per-row supercluster-level pre-cull was tried and measured
+            ~5% SLOWER on kitchen bounce rays: rows almost always reach
+            the supercluster bbox, so the extra test is pure overhead.)"""
             bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
             bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
             cols = []
             for r in range(ROWS):
-                enter = None
-                exit_ = None
-                for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
-                    t0 = (bmin[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
-                    t1 = (bmax[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
-                    lo = jnp.minimum(t0, t1)
-                    hi = jnp.maximum(t0, t1)
-                    enter = lo if enter is None else jnp.maximum(enter, lo)
-                    exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
-                enter = jnp.maximum(enter, tmin[r:r + 1, :])
-                best = jnp.minimum(tmax[r:r + 1, :], bt_ref[r:r + 1, :])
-                exit_ = jnp.minimum(exit_, best)
-                row_hit = enter <= exit_ * jnp.float32(1.00000024)
+                row_hit = row_slab(r, bmin, bmax)  # [K, LANES]
                 cols.append(jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32))
             return jnp.concatenate(cols, axis=1)  # [K, ROWS]
 

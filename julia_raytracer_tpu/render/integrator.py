@@ -399,20 +399,6 @@ def trace_wavefront(
             scene_vmin = jnp.min(pv_flat, axis=0)
             scene_vmax = jnp.max(pv_flat, axis=0)
 
-    def sort_state(s: S) -> S:
-        """Permute lanes: live-with-hit lanes in morton(hit pos) order,
-        live-missed next, dead last. Pure permutation — values unchanged,
-        unpermuted at loop exit via s.idx."""
-        key = jnp.where(
-            s.alive & s.isec_hit,
-            jnp.minimum(
-                _morton3(s.isec_pos, scene_vmin, scene_vmax), 0x7FFFFFFD
-            ),
-            jnp.where(s.alive, 0x7FFFFFFE, 0x7FFFFFFF),
-        )
-        perm = jnp.argsort(key)
-        return jax.tree_util.tree_map(lambda a: a[perm], s)
-
     h0 = intersect(ro, rd, jnp.full(n, RAY_EPS), jnp.full(n, F32_MAX))
     state = S(
         ro=ro,
@@ -441,8 +427,6 @@ def trace_wavefront(
         has_vol=jnp.zeros(n, bool),
         idx=jnp.arange(n, dtype=jnp.int32),
     )
-    if do_sort:
-        state = sort_state(state)
 
     def body(s: S) -> S:
         alive = s.alive
@@ -680,6 +664,45 @@ def trace_wavefront(
             _vec(op_skip), s.rd, jnp.where(_vec(vol), vol_incoming, incoming)
         )
 
+        # ---- wavefront sort BEFORE the traversal (TPU-native stream
+        # compaction, SURVEY §7 step 6): lanes ordered by (liveness,
+        # direction octant, morton(origin)) so each 1024-ray block shares
+        # a direction octant AND an origin neighborhood. Position-only
+        # keys leave bounce-ray block beams covering the whole scene
+        # (kitchen: 131/177 superclusters per block); the octant bits cut
+        # the per-block work list and per-row cluster unions. Dead lanes
+        # compact to the tail where their blocks cull to nothing.
+        if do_sort:
+            octant = (
+                ((new_rd[:, 0] < 0).astype(jnp.int32) << 2)
+                | ((new_rd[:, 1] < 0).astype(jnp.int32) << 1)
+                | (new_rd[:, 2] < 0).astype(jnp.int32)
+            )
+            key = (octant << 27) | (
+                _morton3(new_ro, scene_vmin, scene_vmax) >> 3
+            )
+            key = jnp.where(alive, key, 0x7FFFFFFF)
+            perm = jnp.argsort(key)
+            (new_ro, new_rd, material, normal, outgoing, incoming,
+             vol_incoming, delta, surf, vol, op_skip, weight, radiance,
+             rng, bounce, opbounce, alive, hit_flag, hit_albedo,
+             hit_normal, max_roughness, vd_c, vs_c, va_c, hv_c, idx_c) = (
+                jax.tree_util.tree_map(
+                    lambda a: a[perm],
+                    (new_ro, new_rd, material, normal, outgoing, incoming,
+                     vol_incoming, delta, surf, vol, op_skip, weight,
+                     radiance, rng, bounce, opbounce, alive, hit_flag,
+                     hit_albedo, hit_normal, max_roughness,
+                     s.vol_density, s.vol_scattering, s.vol_aniso,
+                     s.has_vol, s.idx),
+                )
+            )
+        else:
+            vd_c, vs_c, va_c, hv_c, idx_c = (
+                s.vol_density, s.vol_scattering, s.vol_aniso, s.has_vol,
+                s.idx,
+            )
+
         # ---- ONE traversal: next bounce's hit + light-pdf march step 1
         tmax = jnp.where(alive, F32_MAX, RAY_EPS)
         nxt = intersect(new_ro, new_rd, jnp.full(n, RAY_EPS), tmax)
@@ -719,10 +742,10 @@ def trace_wavefront(
             if config.has_volumes:
                 # in-volume MIS (src/trace.jl:441-450)
                 f_v = dispatch.eval_scattering(
-                    s.vol_scattering, s.vol_density, s.vol_aniso, outgoing, vol_incoming
+                    vs_c, vd_c, va_c, outgoing, vol_incoming
                 )
                 pdf_v = dispatch.sample_scattering_pdf(
-                    s.vol_density, s.vol_aniso, outgoing, vol_incoming
+                    vd_c, va_c, outgoing, vol_incoming
                 )
                 denom_v = jax.lax.stop_gradient(0.5 * pdf_v + 0.5 * lights_pdf)
                 w_vol = f_v / jnp.maximum(denom_v, 1e-30)[..., None]
@@ -754,7 +777,7 @@ def trace_wavefront(
 
         # ---- volume stack push/pop (src/trace.jl:405-421)
         vol_density, vol_scattering, vol_aniso, has_vol = (
-            s.vol_density, s.vol_scattering, s.vol_aniso, s.has_vol,
+            vd_c, vs_c, va_c, hv_c,
         )
         if is_path and config.has_volumes:
             transmitted = (
@@ -762,8 +785,8 @@ def trace_wavefront(
                 & (dot(normal, outgoing) * dot(normal, incoming) < 0)
                 & surf
             )
-            push = transmitted & ~s.has_vol
-            pop = transmitted & s.has_vol
+            push = transmitted & ~hv_c
+            pop = transmitted & hv_c
             vol_density = jnp.where(_vec(push), material.density, vol_density)
             vol_scattering = jnp.where(_vec(push), material.scattering, vol_scattering)
             vol_aniso = jnp.where(push, material.scanisotropy, vol_aniso)
@@ -813,10 +836,8 @@ def trace_wavefront(
             vol_scattering=vol_scattering,
             vol_aniso=vol_aniso,
             has_vol=has_vol,
-            idx=s.idx,
+            idx=idx_c,
         )
-        if do_sort:
-            new_s = sort_state(new_s)
         return new_s
 
     def cond(s: S):

@@ -120,3 +120,35 @@ def test_image_alpha_and_shape(cornellbox):
     _, state, img = render(cornellbox, size=32, spp=1)
     assert img.shape == (32, 32, 4)
     assert np.all(img[..., 3] == 1.0)  # all pixels hit -> alpha 1 (src/trace.jl:633)
+
+
+def test_sorted_wavefront_bit_identical(cornellbox):
+    """sort_rays is a pure lane permutation (unsorted at loop exit via
+    idx): the traced image must match without it up to compiler fusion
+    reassociation (the two graphs compile differently; observed max
+    deviation 1.5e-8 on a handful of lanes)."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.render.integrator import make_intersect, trace_wavefront
+    from julia_raytracer_tpu.ops.camera import sample_camera
+    from julia_raytracer_tpu.utils import rng as rng_mod
+
+    params = Params(resolution=24, samples=1, bounces=4, sampler="path")
+    r = Renderer(cornellbox, params)
+    n = 24 * 24
+    pix = jnp.arange(n, dtype=jnp.int32)
+    rng = rng_mod.seed_state(pix, jnp.int32(0), 0)
+    puv, rng = rng_mod.rand2f(rng)
+    luv, rng = rng_mod.rand2f(rng)
+    ij = jnp.stack([pix % 24, pix // 24], axis=-1)
+    ro, rd = sample_camera(r.cam_arrays, ij, (24, 24), puv, luv, False)
+    isec = make_intersect(r.dscene, r.config)
+    outs = []
+    for flag in (False, True):
+        opts = r.options._replace(sort_rays=flag, fixed_iterations=0)
+        rad, hit, alb, nrm, _ = trace_wavefront(
+            r.dscene, r.config, opts, ro, rd, rng, intersect=isec
+        )
+        outs.append((np.asarray(rad), np.asarray(hit), np.asarray(alb), np.asarray(nrm)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -53,16 +53,20 @@ def main():
     ro, rd = sample_camera(r.cam_arrays, ij, (state.width, state.height), puv, luv, False)
     ro, rd = jax.block_until_ready((ro, rd))
 
-    # 1. pure intersect (jnp vs prebuilt/pallas)
-    intersect = make_intersect(r.dscene, r.config)
+    # 1. pure intersect (jnp vs prebuilt/pallas). The gather-BVH jnp path
+    # is minutes-per-call at 1M+ prims — skip it there.
     tmin = jnp.full(n, 1e-4)
     tmax = jnp.full(n, 3.4e38)
-    isec_j = jax.jit(lambda a, b: intersect(a, b, tmin, tmax))
-    t = timeit(isec_j, ro, rd)
-    print(f"intersect jnp    : {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s")
+    if r.config.n_prims <= 300_000 and not os.environ.get("PROF_SKIP_JNP"):
+        intersect = make_intersect(r.dscene, r.config)
+        isec_j = jax.jit(lambda a, b: intersect(a, b, tmin, tmax))
+        t = timeit(isec_j, ro, rd)
+        print(f"intersect jnp    : {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s")
     isec_p = jax.jit(lambda a, b: r.intersect(a, b, tmin, tmax))
     t = timeit(isec_p, ro, rd)
-    print(f"intersect fast   : {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s")
+    print(f"intersect fast   : {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s", flush=True)
+    if os.environ.get("PROF_ONLY") == "isec":
+        return
 
     # 1b. shade-once ablation: specialized surface eval + dispatch
     h0 = jax.block_until_ready(isec_p(ro, rd))
@@ -98,7 +102,9 @@ def main():
         return normal, f, pdf, smp
 
     t = timeit(jax.jit(shade_once), r.dscene, h0.prim, h0.u, h0.v, h0.gnormal)
-    print(f"shade+dispatch   : {t*1e3:8.2f} ms")
+    print(f"shade+dispatch   : {t*1e3:8.2f} ms", flush=True)
+    if os.environ.get("PROF_ONLY") == "shade":
+        return
 
     # 2. full wavefront variants (prebuilt intersect)
     for label, opts in [
