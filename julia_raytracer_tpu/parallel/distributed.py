@@ -105,6 +105,8 @@ def distributed_render_fn(mesh: Mesh, dscene, config, options):
     pixel lanes sharded. Identical math to the single-host path — the
     counter-based RNG keys on pixel ids, so the result is shard-layout
     invariant (tested single vs multi process)."""
+    from jax import shard_map
+
     from julia_raytracer_tpu.render.integrator import trace_wavefront
 
     rep = NamedSharding(mesh, P())
@@ -112,15 +114,25 @@ def distributed_render_fn(mesh: Mesh, dscene, config, options):
     vec = NamedSharding(mesh, P("rays", None))
     scene_sh = jax.tree.map(lambda _: rep, dscene)
 
-    @partial(
-        jax.jit,
-        in_shardings=(scene_sh, vec, vec, shard),
-        out_shardings=(vec, shard, vec, vec),
-    )
-    def render(dscene_, ro, rd, rng_state):
+    def local_render(dscene_, ro, rd, rng_state):
         radiance, hit, albedo, normal, _ = trace_wavefront(
             dscene_, config, options, ro, rd, rng_state
         )
         return radiance, hit, albedo, normal
 
-    return render
+    # shard_map so the wavefront's between-bounce argsort stays PER
+    # DEVICE (rays never communicate; a GSPMD global sort would
+    # allgather every bounce — see parallel/mesh.py)
+    render = shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), dscene), P("rays", None),
+                  P("rays", None), P("rays")),
+        out_specs=(P("rays", None), P("rays"), P("rays", None), P("rays", None)),
+        check_vma=False,
+    )
+    return jax.jit(
+        render,
+        in_shardings=(scene_sh, vec, vec, shard),
+        out_shardings=(vec, shard, vec, vec),
+    )

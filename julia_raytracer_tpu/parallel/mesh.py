@@ -45,23 +45,40 @@ def ray_sharded(mesh: Mesh) -> NamedSharding:
 
 def shard_render_fn(mesh: Mesh, dscene, config, options):
     """jit-compiled sharded forward: rays split over the mesh, scene
-    replicated; returns (radiance, hit, albedo, normal) ray-sharded."""
+    replicated; returns (radiance, hit, albedo, normal) ray-sharded.
+
+    Uses shard_map (not bare GSPMD annotations): the wavefront's
+    between-bounce lane sort is an argsort over the ray axis, which
+    GSPMD would implement as a global sort (an allgather + resort per
+    bounce over ICI). Rays never need to communicate, so the sort must
+    be PER-SHARD — shard_map runs the whole integrator per device on its
+    local lanes, which is exactly that (and the counter-based RNG keys
+    on pixel ids, so results are shard-layout invariant)."""
+    from jax import shard_map
+
     rep, shard = replicated(mesh), ray_sharded(mesh)
     scene_sh = jax.tree.map(lambda _: rep, dscene)
     vec = NamedSharding(mesh, P("rays", None))
 
-    @partial(
-        jax.jit,
-        in_shardings=(scene_sh, vec, vec, shard),
-        out_shardings=(vec, shard, vec, vec),
-    )
-    def render(dscene, ro, rd, rng_state):
+    def local_render(dscene, ro, rd, rng_state):
         radiance, hit, albedo, normal, _ = trace_wavefront(
             dscene, config, options, ro, rd, rng_state
         )
         return radiance, hit, albedo, normal
 
-    return render
+    render = shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), dscene), P("rays", None),
+                  P("rays", None), P("rays")),
+        out_specs=(P("rays", None), P("rays"), P("rays", None), P("rays", None)),
+        check_vma=False,
+    )
+    return jax.jit(
+        render,
+        in_shardings=(scene_sh, vec, vec, shard),
+        out_shardings=(vec, shard, vec, vec),
+    )
 
 
 def shard_train_step(mesh: Mesh, dscene, config, options, cam, width, height,
