@@ -194,23 +194,3 @@ def intersect_bvh(nodes, prim_verts, ro, rd, tmin, tmax, find_any: bool = False,
     return Hit(
         hit, best_prim, best_u, best_v, jnp.where(hit, best_t, tmax), pos, gn, inst
     )
-
-
-def make_intersector(bvh, prim_verts_np, bruteforce_threshold: int = 512):
-    """Return intersect(ro, rd, tmin, tmax) -> (hit, prim, u, v, t).
-
-    Chooses brute force for tiny scenes (dense VPU work beats traversal)
-    and packed-node BVH traversal otherwise. `bvh` is ops.bvh.FlatBVH with
-    prim arrays ALREADY reordered to leaf order.
-    """
-    prim_verts = jnp.asarray(prim_verts_np)
-    if bvh.root_is_leaf or bvh.n_prims <= bruteforce_threshold:
-        def intersect(ro, rd, tmin, tmax, find_any=False):
-            return intersect_bruteforce(prim_verts, ro, rd, tmin, tmax)
-        return intersect
-    nodes = jnp.asarray(bvh.nodes)
-
-    def intersect(ro, rd, tmin, tmax, find_any=False):
-        return intersect_bvh(nodes, prim_verts, ro, rd, tmin, tmax, find_any=find_any)
-
-    return intersect
