@@ -22,6 +22,13 @@ import jax
 # dev-box fallback: the host sitecustomize pins jax_platforms to the
 # single-chip axon backend; SCALING_CPU=1 forces the virtual CPU mesh
 if os.environ.get("SCALING_CPU"):
+    # NOTE on the CPU proxy: the virtual devices SHARE the host's cores
+    # (and one XLA-CPU device already multithreads over all of them), so
+    # raw rays/s CANNOT scale with device count here. The meaningful
+    # quantities on this proxy are (a) the sharded path compiling and
+    # running at every mesh size and (b) the speedup vs the HARDWARE
+    # BOUND min(n_devices, n_cores) — reported below as "of hw bound".
+    # Real scaling numbers require a real multi-chip mesh.
     n = os.environ.get("SCALING_CPU_DEVICES", "8")
     if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
         os.environ["XLA_FLAGS"] = (
@@ -80,10 +87,11 @@ def main():
         rays_s = n / dt
         if base is None:
             base = rays_s
-        eff = rays_s / (base * nd)
+        bound = min(nd, os.cpu_count() or nd) if os.environ.get("SCALING_CPU") else nd
+        eff = rays_s / (base * bound)
         print(
             f"devices={nd:2d}  {dt*1e3:8.2f} ms  {rays_s/1e6:8.2f} Mrays/s  "
-            f"scaling efficiency {eff*100:5.1f}%"
+            f"speedup {rays_s/base:4.2f}x  {eff*100:5.1f}% of hw bound ({bound})"
         )
 
 
