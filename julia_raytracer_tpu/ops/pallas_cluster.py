@@ -766,7 +766,7 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
     S = n_super
 
     def kernel(work_ref, rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref,
-               cmask_ref, cany_ref,
+               cmask_ref, cany_ref, gany_ref,
                bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
                bin_ref):
         i_id = pl.program_id(0)
@@ -912,7 +912,14 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
             # reads ONE scalar per cluster instead of ROWS (scalar VMEM
             # reads at ~18 ns each dominated this loop: 8x fewer = ~35 ms
             # saved per 262k-ray dispatch on kitchen)
-            cany_ref[:, :] = jnp.sum(cm, axis=1, keepdims=True)
+            ca = jnp.sum(cm, axis=1, keepdims=True)
+            cany_ref[:, :] = ca
+            # group-level skip: the serial scan pays per-iteration scalar
+            # read + branch overhead even for culled clusters; summing
+            # over groups of 8 lets a mostly-culled supercluster skip 8
+            # clusters per check (bounce rays with a tight best-t cull
+            # most clusters, so the scan overhead dominates)
+            gany_ref[:, :] = jnp.sum(ca.reshape(-1, 8, 1), axis=1)
 
             def inner(ci, _):
                 @pl.when(cany_ref[ci, 0] != 0)
@@ -920,7 +927,13 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
                     process_cluster(ci)
                 return 0
 
-            jax.lax.fori_loop(0, sup, inner, 0)
+            def group(g, _):
+                @pl.when(gany_ref[g, 0] != 0)
+                def _():
+                    jax.lax.fori_loop(g * 8, g * 8 + 8, inner, 0)
+                return 0
+
+            jax.lax.fori_loop(0, sup // 8, group, 0)
 
         # last step: emit the block's packed results
         @pl.when(s_id == S - 1)
@@ -1014,6 +1027,7 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             scratch_shapes=[
                 pltpu.VMEM((sup, ROWS), jnp.int32),
                 pltpu.VMEM((sup, 1), jnp.int32),
+                pltpu.VMEM((sup // 8, 1), jnp.int32),
                 pltpu.VMEM((ROWS, LANES), jnp.float32),
                 pltpu.VMEM((ROWS, LANES), jnp.int32),
             ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6,
@@ -1136,7 +1150,7 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int):
 
     def kernel(wq_ref, cnt_ref, wsup_ref, winst_ref,
                rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
-               cmask_ref, cany_ref,
+               cmask_ref, cany_ref, gany_ref,
                bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
                bin_ref):
         i_id = pl.program_id(0)
@@ -1282,7 +1296,9 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int):
 
             cm = cull(bbox_ref[0])
             cmask_ref[:, :] = cm
-            cany_ref[:, :] = jnp.sum(cm, axis=1, keepdims=True)
+            ca = jnp.sum(cm, axis=1, keepdims=True)
+            cany_ref[:, :] = ca
+            gany_ref[:, :] = jnp.sum(ca.reshape(-1, 8, 1), axis=1)
 
             def inner(ci, _):
                 @pl.when(cany_ref[ci, 0] != 0)
@@ -1290,7 +1306,13 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int):
                     process_cluster(ci)
                 return 0
 
-            jax.lax.fori_loop(0, sup, inner, 0)
+            def group(g, _):
+                @pl.when(gany_ref[g, 0] != 0)
+                def _():
+                    jax.lax.fori_loop(g * 8, g * 8 + 8, inner, 0)
+                return 0
+
+            jax.lax.fori_loop(0, sup // 8, group, 0)
 
         @pl.when(k_id == K - 1)
         def _():
@@ -1385,6 +1407,7 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
             scratch_shapes=[
                 pltpu.VMEM((sup, ROWS), jnp.int32),
                 pltpu.VMEM((sup, 1), jnp.int32),
+                pltpu.VMEM((max(sup // 8, 1), 1), jnp.int32),
                 pltpu.VMEM((ROWS, LANES), jnp.float32),
                 pltpu.VMEM((ROWS, LANES), jnp.int32),
             ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6,

@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCENES = {
     "kitchen": 720,
     "bathroom1": 720,
+    "ecosys": 480,
 }
 
 
@@ -63,6 +64,28 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
     n_px = state.n_pixels
     # paths/s: one camera path per pixel per sample
     mrays = n_px * measured / dt / 1e6
+    extra = {}
+    tb = r.config.inst_tables
+    if tb is not None:
+        # two-level instancing: report device-table footprint vs what the
+        # single-level flatten would have uploaded (VERDICT r1 item 2)
+        inst_bytes = tb.tab.nbytes + tb.bbox.nbytes + tb.inst_rows.nbytes + tb.wi_bbox.nbytes
+        shape_prims = {}
+        for inst in scene.instances:
+            if 0 <= inst.shape < len(scene.shapes):
+                sh = scene.shapes[inst.shape]
+                shape_prims[inst.shape] = max(len(sh.quads), len(sh.triangles))
+        flat_prims = sum(shape_prims.get(i.shape, 0) for i in scene.instances)
+        extra = {
+            "instanced": True,
+            "device_tables_mb": round(inst_bytes / 1e6, 1),
+            "flattened_prims": flat_prims,
+            "instanced_prims": tb.n_prims,
+            "est_flattened_tables_mb": round(
+                inst_bytes / max(tb.n_prims, 1) * flat_prims / 1e6, 1
+            ),
+            "work_items": int(len(tb.wi_sup)),
+        }
     return {
         "resolution": f"{state.width}x{state.height}",
         "spp_measured": measured,
@@ -71,6 +94,7 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
         "est_wall_256spp_s": round(ms_per_sample * 256 / 1e3, 1),
         "host_prep_s": round(host_prep, 1),
         "first_batch_incl_compile_s": round(compile_s, 1),
+        **extra,
     }
 
 
