@@ -1143,6 +1143,10 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
 # overhead bounded at blocks*K instead of blocks*N_items.
 
 WL_INST_K = 64  # work items per block per round
+# blocks per instanced pallas_call: dispatches above ~64 blocks fault the
+# v5e worker (ecosys at 384px+; 256px/36 blocks is fine) — keep chunks
+# comfortably below the cliff
+INST_CHUNK_BLOCKS = 32
 
 
 def _make_kernel_instanced(k_items: int, sup: int, q: int):
@@ -1467,8 +1471,8 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
             prep(tmin), prep(tmax),
         ]
         parts_f, parts_i = [], []
-        for blo_i in range(0, nblocks, WORKLIST_BLOCKS):
-            bhi_i = min(blo_i + WORKLIST_BLOCKS, nblocks)
+        for blo_i in range(0, nblocks, INST_CHUNK_BLOCKS):
+            bhi_i = min(blo_i + INST_CHUNK_BLOCKS, nblocks)
             nb = bhi_i - blo_i
             rsel = slice(blo_i * ROWS, bhi_i * ROWS)
             ccomp = [c[rsel] for c in comps]

@@ -271,6 +271,12 @@ class Renderer:
         target = min(state.samples + params.batch, params.samples)
         n = state.n_pixels
         chunk = min(MAX_CHUNK, n)
+        if self.config.inst_tables is not None:
+            # instanced scenes: dispatches above ~64 ray blocks inside the
+            # integrator program fault the axon v5e worker (ecosys 384px+;
+            # the same intersect standalone is fine). 32k-lane chunks stay
+            # well under the cliff; accumulation is chunk-invariant.
+            chunk = min(chunk, 1 << 15)
         kernel = self._sample_kernel(state.width, state.height, chunk)
         image, albedo, normal, hits = state.image, state.albedo, state.normal, state.hits
         # Pad buffers to a chunk multiple so dynamic_update_slice start indices
