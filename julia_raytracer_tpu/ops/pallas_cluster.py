@@ -1362,10 +1362,6 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
     )
     wib = tables.wi_bbox if len(tables.wi_bbox) else np.zeros((1, 6), np.float32)
     wib_d = jnp.asarray(wib)
-    scene_lo = wib[:, 0:3].min(axis=0)
-    scene_hi = wib[:, 3:6].max(axis=0)
-    diag = float(np.linalg.norm(scene_hi - scene_lo)) + 1.0
-
     max_rounds = -(-n_items // K)
     n_pad_items = max_rounds * K
 
@@ -1424,28 +1420,39 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
         )(wq, cnt, wsup_d, winst_d, rays_packed, bbox_d, tab_d, xf_d)
 
     def beam_precull(comps, nblocks):
-        """Per-block candidate items: conservative interval-beam overlap
-        + front-to-back ordering by box-to-box distance t_low (a true
-        lower bound on any member ray's hit t for unit directions)."""
-        def bounds(c3):
-            a = jnp.stack(c3, axis=-1).reshape(nblocks, BLOCK_RAYS, 3)
-            return a.min(axis=1), a.max(axis=1)
+        """Per-block candidate items by EXACT per-ray slab tests (same
+        idea as the worklist kernel's precull, per work-item bbox):
+        an interval-beam overlap test was tried first and passed 84% of
+        all 16,485 ecosys items for scanline primary blocks (the beam's
+        scene-diagonal reach makes it vacuous), giving 165 average
+        K=64 rounds; the exact cull is ~20 flops x rays x items of
+        fully-fused VPU work and yields both a tight candidate set and
+        a true front-to-back t_low = min over member rays' slab entry."""
+        item_lo = wib_d[:, 0:3]  # [Ni, 3]
+        item_hi = wib_d[:, 3:6]
 
-        olo, ohi = bounds(comps[0:3])
-        dlo, dhi = bounds(comps[3:6])
-        blo = wib_d[None, :, 0:3]  # [1, Ni, 3]
-        bhi = wib_d[None, :, 3:6]
-        gap = jnp.maximum(
-            jnp.maximum(blo - ohi[:, None, :], olo[:, None, :] - bhi), 0.0
-        )
-        t_low = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # [nb, Ni]
-        T = (t_low.min(axis=1, keepdims=True) + diag)
-        reach_lo = olo[:, None, :] + jnp.minimum(dlo, 0.0)[:, None, :] * T[..., None]
-        reach_hi = ohi[:, None, :] + jnp.maximum(dhi, 0.0)[:, None, :] * T[..., None]
-        overlap = jnp.all((reach_lo <= bhi) & (reach_hi >= blo), axis=-1)
-        key = jnp.where(overlap, t_low, jnp.float32(jnp.inf))
+        def per_block(args):
+            o, d, tn, tx = args  # [BLOCK_RAYS,3]x2, [BLOCK_RAYS]x2
+            di = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+            t0 = (item_lo[None] - o[:, None]) * di[:, None]  # [B, Ni, 3]
+            t1 = (item_hi[None] - o[:, None]) * di[:, None]
+            enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            enter = jnp.maximum(enter, tn[:, None])
+            exit_ = jnp.minimum(exit_, tx[:, None])
+            ray_hit = enter <= exit_ * jnp.float32(1.00000024)  # [B, Ni]
+            enter_m = jnp.where(
+                ray_hit, jnp.maximum(enter, 0.0), jnp.float32(jnp.inf)
+            )
+            return jnp.min(enter_m, axis=0)  # [Ni]; inf = no ray reaches
+
+        o_b = jnp.stack(comps[0:3], axis=-1).reshape(nblocks, BLOCK_RAYS, 3)
+        d_b = jnp.stack(comps[3:6], axis=-1).reshape(nblocks, BLOCK_RAYS, 3)
+        tn_b = comps[6].reshape(nblocks, BLOCK_RAYS)
+        tx_b = comps[7].reshape(nblocks, BLOCK_RAYS)
+        key = jax.lax.map(per_block, (o_b, d_b, tn_b, tx_b))  # [nb, Ni]
         order = jnp.argsort(key, axis=1).astype(jnp.int32)
-        cnt = overlap.sum(axis=1).astype(jnp.int32)
+        cnt = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
         tlow_sorted = jnp.take_along_axis(key, order, axis=1)
         if n_pad_items > order.shape[1]:
             padw = n_pad_items - order.shape[1]

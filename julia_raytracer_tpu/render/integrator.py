@@ -336,6 +336,35 @@ def _morton3(pos, vmin, vmax):
     )
 
 
+def _sort_key(ro, rd, vmin, vmax):
+    """Wavefront coherence key: octant(3) | origin-morton(18) |
+    direction-morton(9), 30 bits total.
+
+    The octant groups rays whose slab tests share sign structure; the
+    origin bits (6/axis — block-granularity locality only needs the top
+    few) keep each 1024-ray block's footprint compact so per-block
+    culls have tight beams; the DIRECTION bits refine within an
+    (octant, origin-cell): without them pinhole-camera primaries (all
+    origins equal) sort to scanline strips spanning the whole image
+    width, whose block frusta fan across the entire scene (measured on
+    ecosys: 84% of all work items pass the block cull). With them,
+    equal-origin rays tile by direction == image tiles."""
+    octant = (
+        ((rd[:, 0] < 0).astype(jnp.int32) << 2)
+        | ((rd[:, 1] < 0).astype(jnp.int32) << 1)
+        | (rd[:, 2] < 0).astype(jnp.int32)
+    )
+    om = _morton3(ro, vmin, vmax) >> 12  # top 18 bits
+    ad = jnp.abs(rd)
+    qd = jnp.clip(ad * 7.999, 0.0, 7.0).astype(jnp.int32)
+    dm = (
+        _spread3(qd[:, 0])
+        | (_spread3(qd[:, 1]) << 1)
+        | (_spread3(qd[:, 2]) << 2)
+    )  # 9 bits (3/axis)
+    return (octant << 27) | (om << 9) | dm
+
+
 def trace_wavefront(
     dscene: DeviceScene,
     config: SceneConfig,
@@ -399,6 +428,17 @@ def trace_wavefront(
             scene_vmin = jnp.min(pv_flat, axis=0)
             scene_vmax = jnp.max(pv_flat, axis=0)
 
+    idx0 = jnp.arange(n, dtype=jnp.int32)
+    if do_sort:
+        # sort PRIMARY rays too: camera rays arrive in scanline order,
+        # so 1024-lane blocks span whole scanlines (full-scene frusta);
+        # the direction bits in the key turn equal-origin pinhole blocks
+        # into image tiles (see _sort_key)
+        perm0 = jnp.argsort(_sort_key(ro, rd, scene_vmin, scene_vmax))
+        ro, rd, rng_state, idx0 = jax.tree_util.tree_map(
+            lambda a: a[perm0], (ro, rd, rng_state, idx0)
+        )
+
     h0 = intersect(ro, rd, jnp.full(n, RAY_EPS), jnp.full(n, F32_MAX))
     state = S(
         ro=ro,
@@ -425,7 +465,7 @@ def trace_wavefront(
         vol_scattering=zeros3,
         vol_aniso=jnp.zeros(n, jnp.float32),
         has_vol=jnp.zeros(n, bool),
-        idx=jnp.arange(n, dtype=jnp.int32),
+        idx=idx0,
     )
 
     def body(s: S) -> S:
@@ -673,14 +713,7 @@ def trace_wavefront(
         # the per-block work list and per-row cluster unions. Dead lanes
         # compact to the tail where their blocks cull to nothing.
         if do_sort:
-            octant = (
-                ((new_rd[:, 0] < 0).astype(jnp.int32) << 2)
-                | ((new_rd[:, 1] < 0).astype(jnp.int32) << 1)
-                | (new_rd[:, 2] < 0).astype(jnp.int32)
-            )
-            key = (octant << 27) | (
-                _morton3(new_ro, scene_vmin, scene_vmax) >> 3
-            )
+            key = _sort_key(new_ro, new_rd, scene_vmin, scene_vmax)
             key = jnp.where(alive, key, 0x7FFFFFFF)
             perm = jnp.argsort(key)
             (new_ro, new_rd, material, normal, outgoing, incoming,

@@ -5,12 +5,20 @@ per-count throughput + scaling efficiency. On the single-chip dev box
 use the virtual CPU mesh (numbers are only meaningful relative to each
 other); on a pod slice it measures the real thing:
 
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python tools/scaling_bench.py [scene.json] [resolution]
+  SCALING_CPU=1 python tools/scaling_bench.py [scene.json] [resolution]
+
+With SCALING_JSON=path, also writes a JSON artifact containing, per
+device count: wall time, rays/s, speedup, AND the XLA cost-analysis
+per-device FLOP fraction (compile-time, contention-free): on a
+shared-core CPU proxy the wall clock cannot show real scaling, but the
+compiled per-device program's FLOPs dropping as total/N proves the
+sharding divides the work — the quantity that determines efficiency on
+a real ICI mesh, where the forward pass has zero collectives.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -73,9 +81,27 @@ def main():
         counts.append(d)
         d *= 2
     base = None
+    base_flops = None
+    rows = []
     for nd in counts:
         mesh = make_mesh(nd)
         render = shard_render_fn(mesh, r.dscene, r.config, r.options)
+        # compile-time per-device cost: FLOPs of ONE device's program.
+        # shard_map lowers to a per-device module; flops scaling as
+        # total/N is the contention-free proof the work is divided.
+        flops = None
+        try:
+            ca = (
+                jax.jit(render)
+                .lower(r.dscene, ro, rd, rng)
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
         out = render(r.dscene, ro, rd, rng)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -87,12 +113,55 @@ def main():
         rays_s = n / dt
         if base is None:
             base = rays_s
+            base_flops = flops
         bound = min(nd, os.cpu_count() or nd) if os.environ.get("SCALING_CPU") else nd
         eff = rays_s / (base * bound)
-        print(
+        # parallel efficiency implied by the divided work: ideal would be
+        # base_flops / nd per device; >= 1.0 means no redundant compute
+        flop_eff = (
+            (base_flops / nd) / flops if flops and base_flops else None
+        )
+        msg = (
             f"devices={nd:2d}  {dt*1e3:8.2f} ms  {rays_s/1e6:8.2f} Mrays/s  "
             f"speedup {rays_s/base:4.2f}x  {eff*100:5.1f}% of hw bound ({bound})"
         )
+        if flop_eff is not None:
+            msg += f"  per-dev flops {flops:.3e} ({flop_eff*100:.1f}% flop-eff)"
+        print(msg)
+        rows.append(
+            {
+                "devices": nd,
+                "ms": dt * 1e3,
+                "rays_per_s": rays_s,
+                "speedup": rays_s / base,
+                "per_device_flops": flops,
+                "flop_efficiency": flop_eff,
+            }
+        )
+
+    path = os.environ.get("SCALING_JSON")
+    if path:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "scene": scene_path,
+                    "resolution": res,
+                    "rays": n,
+                    "proxy": "virtual CPU mesh (shared cores)"
+                    if os.environ.get("SCALING_CPU")
+                    else "hardware mesh",
+                    "note": (
+                        "flop_efficiency = (1-dev flops / N) / per-device "
+                        "flops from XLA cost analysis; wall-clock speedup "
+                        "on the CPU proxy is bounded by physical cores, "
+                        "not devices"
+                    ),
+                    "results": rows,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":
