@@ -31,7 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resolution", type=int, default=1280, help="image resolution")
     p.add_argument("--samples", type=int, default=512, help="number of samples")
     p.add_argument("--bounces", type=int, default=8, help="number of bounces")
-    p.add_argument("--denoise", action="store_true", help="denoise image (unsupported)")
+    p.add_argument(
+        "--denoise", action="store_true",
+        help="denoise image (AOV-guided à-trous; reference stubs this flag)",
+    )
     p.add_argument("--noparallel", action="store_true", help="disable threading")
     p.add_argument("--highqualitybvh", action="store_true", help="use SAH BVH build")
     p.add_argument("--envhidden", action="store_true", help="hide environment")
@@ -87,9 +90,8 @@ def main(argv=None) -> int:
     if params.envname:
         print("envname is not yet supported")
         params.envname = ""
-    if params.denoise:
-        print("denoise is not yet supported")
-        params.denoise = False
+    # NB --denoise is REAL here (render/denoise.py) — the reference warns
+    # "denoise is not supported" and disables it (src/jtrace.jl:43-46)
 
     render_start = time.monotonic()
     print(f"loading scene {params.scene}...")
@@ -128,6 +130,17 @@ def main(argv=None) -> int:
             state.save(a.checkpoint)
     render_s = time.monotonic() - sampling_start
     print(f"rendered in {format_seconds(render_s)} ({render_s:.3f}s)")
+
+    if params.denoise:
+        from julia_raytracer_tpu.render.denoise import denoise_image
+
+        print("denoising...")
+        t0 = time.monotonic()
+        state.denoised = denoise_image(
+            state.image, state.albedo, state.normal, state.width, state.height
+        )
+        state.denoised.block_until_ready()
+        print(f"denoised in {format_seconds(time.monotonic() - t0)}")
 
     print("saving image...")
     image = renderer.get_image(state)
