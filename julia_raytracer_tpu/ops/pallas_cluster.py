@@ -762,16 +762,22 @@ def _wl_super_bbox(bbox: np.ndarray, sup: int) -> np.ndarray:
     return out
 
 
-def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
+def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int,
+                          flat: bool = False):
+    """flat=False: grid (blocks, S) — every block steps over ALL
+    superclusters, dead steps detected by duplicate work-list ids.
+    flat=True: grid (sum of per-block counts,) — one step per LIVE
+    (block, supercluster) pair, blk/sc/flags ride in as scalar prefetch;
+    the dead-step floor (~0.4 ms per 1k grid steps) disappears entirely."""
     S = n_super
+    G8 = min(8, sup)  # cluster-scan skip granularity
+    assert sup % G8 == 0
 
-    def kernel(work_ref, rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref,
-               cmask_ref, cany_ref, gany_ref,
-               bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
-               bin_ref):
-        i_id = pl.program_id(0)
-        s_id = pl.program_id(1)
-        sc_id = work_ref[i_id, s_id]
+    def impl(sc_id, is_first, live, is_last,
+             rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref,
+             cmask_ref, cany_ref, gany_ref,
+             bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+             bin_ref):
         R = ROWS
         ox, oy, oz = rays_ref[0:R], rays_ref[R:2*R], rays_ref[2*R:3*R]
         dx, dy, dz = rays_ref[3*R:4*R], rays_ref[4*R:5*R], rays_ref[5*R:6*R]
@@ -814,7 +820,7 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
                 cols.append(jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32))
             return jnp.concatenate(cols, axis=1)  # [K, ROWS]
 
-        @pl.when(s_id == 0)
+        @pl.when(is_first)
         def _():
             bt_ref[:, :] = tmax
             btri_ref[:, :] = jnp.full((ROWS, LANES), -1, jnp.int32)
@@ -899,11 +905,6 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
                 )
                 bt_ref[rsel, :] = jnp.where(upd, min_t, bt_ref[rsel, :])
 
-        # live iff first step or a NEW id (each live id appears once in
-        # the front-to-back list; only the padded tail repeats)
-        prev = work_ref[i_id, jnp.maximum(s_id - 1, 0)]
-        live = (s_id == 0) | (sc_id != prev)
-
         @pl.when(live)
         def _():
             cm = cull(bbox_ref[0])
@@ -916,10 +917,11 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
             cany_ref[:, :] = ca
             # group-level skip: the serial scan pays per-iteration scalar
             # read + branch overhead even for culled clusters; summing
-            # over groups of 8 lets a mostly-culled supercluster skip 8
-            # clusters per check (bounce rays with a tight best-t cull
-            # most clusters, so the scan overhead dominates)
-            gany_ref[:, :] = jnp.sum(ca.reshape(-1, 8, 1), axis=1)
+            # over groups of G8 (8, or sup when smaller) lets a
+            # mostly-culled supercluster skip G8 clusters per check
+            # (bounce rays with a tight best-t cull most clusters, so
+            # the scan overhead dominates)
+            gany_ref[:, :] = jnp.sum(ca.reshape(-1, G8, 1), axis=1)
 
             def inner(ci, _):
                 @pl.when(cany_ref[ci, 0] != 0)
@@ -930,13 +932,13 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
             def group(g, _):
                 @pl.when(gany_ref[g, 0] != 0)
                 def _():
-                    jax.lax.fori_loop(g * 8, g * 8 + 8, inner, 0)
+                    jax.lax.fori_loop(g * G8, g * G8 + G8, inner, 0)
                 return 0
 
-            jax.lax.fori_loop(0, sup // 8, group, 0)
+            jax.lax.fori_loop(0, sup // G8, group, 0)
 
-        # last step: emit the block's packed results
-        @pl.when(s_id == S - 1)
+        # last step of the block: emit its packed results
+        @pl.when(is_last)
         def _():
             best_tri = btri_ref[:]
             best_t = bt_ref[:]
@@ -956,15 +958,46 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int):
             outf_ref[7*R:8*R, :] = bny_ref[:]
             outf_ref[8*R:9*R, :] = bnz_ref[:]
 
+    if flat:
+        def kernel(blk_ref, sc_ref, flg_ref, rays_ref, bbox_ref, tab_ref,
+                   outf_ref, outi_ref, *scratch):
+            del blk_ref  # consumed by the BlockSpec index maps only
+            j = pl.program_id(0)
+            f = flg_ref[j]
+            impl(sc_ref[j],
+                 (f & 1) != 0,   # first item of its ray block
+                 (f & 4) != 0,   # valid (not tail padding)
+                 (f & 2) != 0,   # last item of its ray block
+                 rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref, *scratch)
+    else:
+        def kernel(work_ref, rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref,
+                   *scratch):
+            i_id = pl.program_id(0)
+            s_id = pl.program_id(1)
+            sc_id = work_ref[i_id, s_id]
+            # live iff first step or a NEW id (each live id appears once
+            # in the front-to-back list; only the padded tail repeats)
+            prev = work_ref[i_id, jnp.maximum(s_id - 1, 0)]
+            impl(sc_id, s_id == 0, (s_id == 0) | (sc_id != prev),
+                 s_id == S - 1,
+                 rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref, *scratch)
+
     return kernel
 
 
 def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=None,
                                     interpret: bool = False, cache_key: str = "",
-                                    sup: int = WL_SUPER):
+                                    sup: int = WL_SUPER,
+                                    flat_grid: bool | None = None):
     """Heavy-scene cluster intersector with per-block supercluster work
     lists (see section comment). Drop-in replacement for
-    make_cluster_intersect_hbm."""
+    make_cluster_intersect_hbm.
+
+    flat_grid=True runs the 1-D flattened grid (one step per live
+    (block, supercluster) pair, bucketed to 4 static sizes) instead of
+    the rectangular (blocks, S) grid; None reads env JRT_WL_FLAT."""
+    if flat_grid is None:
+        flat_grid = os.environ.get("JRT_WL_FLAT", "") == "1"
     q = len(prim_verts_np)
     tfm, nrm, bbox, n_clusters = _load_tables(prim_verts_np, prim_instance, cache_key)
     sbbox = _wl_super_bbox(bbox, sup)
@@ -989,8 +1022,104 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
     tab_d = jnp.asarray(tab)
     bbox_d = jnp.asarray(bbox.reshape(n_super, sup, 8))
     sbbox_d = jnp.asarray(sbbox)
-    kernel = _make_kernel_worklist(n_super, n_clusters, q, sup)
+    kernel = _make_kernel_worklist(n_super, n_clusters, q, sup, flat=flat_grid)
     S = n_super
+
+    _scratch_shapes = [
+        pltpu.VMEM((sup, ROWS), jnp.int32),
+        pltpu.VMEM((sup, 1), jnp.int32),
+        pltpu.VMEM((sup // min(8, sup), 1), jnp.int32),
+        pltpu.VMEM((ROWS, LANES), jnp.float32),
+        pltpu.VMEM((ROWS, LANES), jnp.int32),
+    ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6
+
+    def chunk_call_flat(rays_packed, sub_blocks, order, cnt):
+        """Flattened 1-D dispatch: one grid step per live (block,
+        supercluster) pair. The step count is data-dependent, so it is
+        bucketed to 4 static grid sizes (full, 1/2, 1/4, 1/8 of the
+        worst case) under a lax.switch — the smallest bucket that holds
+        sum(cnt) runs; tail-padding steps carry flags=0 and do nothing
+        (their index maps repeat the final block/supercluster, so the
+        pipeline skips their DMAs too)."""
+        nb = sub_blocks
+        capf = nb * S
+        cnt1 = jnp.maximum(cnt, 1)  # every block needs >= 1 step to emit
+        starts = jnp.cumsum(cnt1) - cnt1  # exclusive prefix
+        total = starts[-1] + cnt1[-1]
+        jf = jnp.arange(capf, dtype=jnp.int32)
+        marks = jnp.zeros(capf, jnp.int32).at[starts].add(1)
+        blk = jnp.cumsum(marks) - 1  # block id per flattened step
+        rank = jf - starts[blk]
+        valid = rank < cnt1[blk]
+        sc = order[blk, jnp.minimum(rank, S - 1)]
+        first = (rank == 0) & valid
+        last = (rank == cnt1[blk] - 1) & valid
+        flg = (
+            first.astype(jnp.int32)
+            | (last.astype(jnp.int32) << 1)
+            | (valid.astype(jnp.int32) << 2)
+        )
+        shape_f = jax.ShapeDtypeStruct((nb * 9 * ROWS, LANES), jnp.float32)
+        shape_i = jax.ShapeDtypeStruct((nb * 2 * ROWS, LANES), jnp.int32)
+
+        caps = sorted({max(1, -(-capf // 8)), max(1, -(-capf // 4)),
+                       max(1, -(-capf // 2)), capf})
+
+        def branch(cap):
+            def run(args):
+                blk_, sc_, flg_, rays = args
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(cap,),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (8 * ROWS, LANES),
+                            lambda j, b, s, f: (b[j], 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (1, sup, 8),
+                            lambda j, b, s, f: (s[j], 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (1, sup, 16, TRIS),
+                            lambda j, b, s, f: (s[j], 0, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec(
+                            (9 * ROWS, LANES),
+                            lambda j, b, s, f: (b[j], 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (2 * ROWS, LANES),
+                            lambda j, b, s, f: (b[j], 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    scratch_shapes=_scratch_shapes,
+                )
+                return pl.pallas_call(
+                    kernel,
+                    grid_spec=grid_spec,
+                    out_shape=[shape_f, shape_i],
+                    interpret=interpret,
+                )(blk_[:cap], sc_[:cap], flg_[:cap], rays, bbox_d, tab_d)
+
+            return run
+
+        # beyond `total`, blk saturates at nb-1 and valid is False — a
+        # truncated tail is pure no-op padding, so any cap >= total is
+        # equivalent to the full grid
+        idx = jnp.searchsorted(jnp.asarray(caps, jnp.int32), total)
+        return jax.lax.switch(
+            jnp.minimum(idx, len(caps) - 1),
+            [branch(c) for c in caps],
+            (blk, sc, flg, rays_packed),
+        )
 
     def chunk_call(rays_packed, sub_blocks, work):
         """One pallas_call over sub_blocks ray blocks.
@@ -1024,13 +1153,7 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((sup, ROWS), jnp.int32),
-                pltpu.VMEM((sup, 1), jnp.int32),
-                pltpu.VMEM((sup // 8, 1), jnp.int32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.int32),
-            ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6,
+            scratch_shapes=_scratch_shapes,
         )
         return pl.pallas_call(
             kernel,
@@ -1040,9 +1163,9 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         )(work, rays_packed, bbox_d, tab_d)
 
     def precull(ro_c, rd_c, tmin_c, tmax_c, nblocks):
-        """[rays] component arrays -> front-to-back work list [nblocks, S].
-        The elementwise tree fuses; only the [rays, S] predicate
-        materializes."""
+        """[rays] component arrays -> front-to-back candidate order
+        [nblocks, S] + live count [nblocks]. The elementwise tree fuses;
+        only the [rays, S] predicate materializes."""
         o = jnp.stack(ro_c, axis=-1).reshape(-1, 1, 3)
         d = jnp.stack(rd_c, axis=-1).reshape(-1, 1, 3)
         di = 1.0 / jnp.where(d == 0.0, 1e-30, d)
@@ -1061,8 +1184,12 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             jnp.where(blk_hit, blk_enter, jnp.float32(jnp.inf)), axis=1
         ).astype(jnp.int32)
         cnt = blk_hit.sum(axis=1).astype(jnp.int32)
+        if flat_grid:
+            return order, cnt
+        # rectangular-grid work list: tail positions >= cnt repeat the
+        # last live id so the kernel's duplicate-id check skips them
         j = jnp.minimum(sc_ids, jnp.maximum(cnt - 1, 0)[:, None])
-        return jnp.take_along_axis(order, j, axis=1)  # [nblocks, S]
+        return jnp.take_along_axis(order, j, axis=1), cnt  # [nblocks, S]
 
     @jax.jit
     def intersect(ro, rd, tmin, tmax):
@@ -1094,14 +1221,16 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             # ~180 MB instead of materializing the whole dispatch's
             # [1M, S] at once (a ~250 ms HBM-pressure cliff at 1M rays)
             rsel = slice(blo * ROWS, bhi * ROWS)
-            work = precull(
+            work, cnt = precull(
                 [c[rsel] for c in comps[0:3]],
                 [c[rsel] for c in comps[3:6]],
                 comps[6][rsel], comps[7][rsel], nb,
             )
-            of, oi = chunk_call(
-                packed[blo * 8 * ROWS : bhi * 8 * ROWS], nb, work
-            )
+            rays_chunk = packed[blo * 8 * ROWS : bhi * 8 * ROWS]
+            if flat_grid:
+                of, oi = chunk_call_flat(rays_chunk, nb, work, cnt)
+            else:
+                of, oi = chunk_call(rays_chunk, nb, work)
             parts_f.append(of.reshape(nb, 9, ROWS, LANES))
             parts_i.append(oi.reshape(nb, 2, ROWS, LANES))
         outf = parts_f[0] if len(parts_f) == 1 else jnp.concatenate(parts_f, axis=0)

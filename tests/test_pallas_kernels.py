@@ -75,6 +75,26 @@ def test_cluster_worklist_kernel_interpret(box_setup):
     check(ref, clu(ro, rd, tmin, tmax))
 
 
+def test_cluster_worklist_flat_grid_interpret(box_setup):
+    """The flattened 1-D grid (one step per live (block, supercluster)
+    pair, bucketed static sizes) must match brute force exactly like the
+    rectangular grid does — including with a finite tmax, and with >1
+    ray block so per-block init/emit flags are exercised."""
+    dscene, ro, rd, tmin, tmax, ref = box_setup
+    clu = make_cluster_intersect_worklist(
+        np.asarray(dscene.prim_verts), interpret=True, flat_grid=True
+    )
+    check(ref, clu(ro, rd, tmin, tmax))
+    # multiple blocks: 3072 rays = 3 blocks of 1024
+    n3 = ro.shape[0] * 3
+    ro3 = jnp.tile(ro, (3, 1))
+    rd3 = jnp.tile(rd, (3, 1))
+    ref3 = intersect_bruteforce(
+        dscene.prim_verts, ro3, rd3, jnp.full(n3, 1e-4), jnp.full(n3, 4.3)
+    )
+    check(ref3, clu(ro3, rd3, jnp.full(n3, 1e-4), jnp.full(n3, 4.3)))
+
+
 def test_cluster_worklist_short_rays(box_setup):
     """Finite tmax must cull identically in both kernels (the worklist
     pre-cull and the in-kernel best-t cull both see tmax)."""
@@ -91,6 +111,34 @@ def test_cluster_worklist_short_rays(box_setup):
     tmax0 = jnp.full(ro.shape[0], 2.0)
     got = clu(ro, rd, tmin, tmax0)
     assert not bool(np.asarray(got.hit).any())
+
+
+def test_cluster_worklist_flat_multi_supercluster():
+    """Synthetic quad soup spread along x with sup=2 -> several
+    superclusters, so the flat grid's per-block counts differ from S and
+    the front-to-back order + bucket selection are really exercised."""
+    rng = np.random.default_rng(7)
+    q = 1200  # ~10 clusters of 128 -> 5 superclusters at sup=2
+    base = rng.uniform(-1, 1, (q, 3)).astype(np.float32)
+    base[:, 0] += np.linspace(0, 40, q, dtype=np.float32)  # stretch in x
+    e1 = rng.uniform(0.05, 0.3, (q, 3)).astype(np.float32)
+    e2 = rng.uniform(0.05, 0.3, (q, 3)).astype(np.float32)
+    pv = np.stack([base, base + e1, base + e2, base + e2], axis=1)
+    n = 2048
+    ro = np.tile([-4.0, 0.0, 0.0], (n, 1)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd[:, 0] = np.abs(rd[:, 0]) * 8 + 1  # mostly +x, into the soup
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ro_j, rd_j = jnp.asarray(ro), jnp.asarray(rd)
+    tmin = jnp.full(n, 1e-4)
+    tmax = jnp.full(n, 3.4e38)
+    ref = intersect_bruteforce(jnp.asarray(pv), ro_j, rd_j, tmin, tmax)
+    assert 0 < int(np.asarray(ref.hit).sum()) < n
+    for flat in (False, True):
+        clu = make_cluster_intersect_worklist(
+            pv, interpret=True, sup=2, flat_grid=flat
+        )
+        check(ref, clu(ro_j, rd_j, tmin, tmax))
 
 
 def test_cluster_tables_shapes():
