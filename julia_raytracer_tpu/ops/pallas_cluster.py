@@ -1278,25 +1278,25 @@ WL_INST_K = 64  # work items per block per round
 INST_CHUNK_BLOCKS = 32
 
 
-def _make_kernel_instanced(k_items: int, sup: int, q: int):
+def _make_kernel_instanced(k_items: int, sup: int, q: int,
+                           flat: bool = False):
+    """flat=False: grid (blocks, K) round dispatch driven by an outer
+    while_loop (one K-item round per call). flat=True: grid (steps,) —
+    one step per live (block, work-item) pair; blk/sc/xf-row/flags ride
+    in as scalar prefetch and the whole intersect is ONE dispatch."""
     K = k_items
 
-    def kernel(wq_ref, cnt_ref, wsup_ref, winst_ref,
-               rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
-               cmask_ref, cany_ref, gany_ref,
-               bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
-               bin_ref):
-        i_id = pl.program_id(0)
-        k_id = pl.program_id(1)
-        item = wq_ref[i_id, k_id]
-        sc_id = wsup_ref[item]
-        inst_id = winst_ref[item]
+    def impl(sc_id, inst_id, is_first, live, is_last,
+             rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
+             cmask_ref, cany_ref, gany_ref,
+             bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+             bin_ref):
         R = ROWS
         wox, woy, woz = rays_ref[0:R], rays_ref[R:2*R], rays_ref[2*R:3*R]
         wdx, wdy, wdz = rays_ref[3*R:4*R], rays_ref[4*R:5*R], rays_ref[5*R:6*R]
         tmin, tmax = rays_ref[6*R:7*R], rays_ref[7*R:8*R]
 
-        @pl.when(k_id == 0)
+        @pl.when(is_first)
         def _():
             bt_ref[:, :] = tmax
             btri_ref[:, :] = jnp.full((ROWS, LANES), -1, jnp.int32)
@@ -1306,8 +1306,6 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int):
             bny_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
             bnz_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
             bin_ref[:, :] = jnp.zeros((ROWS, LANES), jnp.float32)
-
-        live = k_id < cnt_ref[i_id]
 
         @pl.when(live)
         def _():
@@ -1447,7 +1445,7 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int):
 
             jax.lax.fori_loop(0, sup // 8, group, 0)
 
-        @pl.when(k_id == K - 1)
+        @pl.when(is_last)
         def _():
             best_tri = btri_ref[:]
             best_t = bt_ref[:]
@@ -1467,14 +1465,49 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int):
             outf_ref[7*R:8*R, :] = bny_ref[:]
             outf_ref[8*R:9*R, :] = bnz_ref[:]
 
+    if flat:
+        def kernel(blk_ref, sc_ref, xr_ref, flg_ref,
+                   rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
+                   *scratch):
+            del blk_ref  # consumed by the BlockSpec index maps only
+            j = pl.program_id(0)
+            f = flg_ref[j]
+            impl(sc_ref[j], xr_ref[j],
+                 (f & 1) != 0,   # first item of its ray block
+                 (f & 4) != 0,   # valid (not tail padding)
+                 (f & 2) != 0,   # last item of its ray block
+                 rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
+                 *scratch)
+    else:
+        def kernel(wq_ref, cnt_ref, wsup_ref, winst_ref,
+                   rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
+                   *scratch):
+            i_id = pl.program_id(0)
+            k_id = pl.program_id(1)
+            item = wq_ref[i_id, k_id]
+            impl(wsup_ref[item], winst_ref[item],
+                 k_id == 0, k_id < cnt_ref[i_id], k_id == K - 1,
+                 rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
+                 *scratch)
+
     return kernel
 
 
 def make_cluster_intersect_instanced(tables, interpret: bool = False,
-                                     k_items: int = WL_INST_K):
+                                     k_items: int = WL_INST_K,
+                                     flat_grid: bool | None = None):
     """Two-level instanced intersector -> Hit (see section comment).
 
-    `tables` is a scene/instanced.py InstancedTables."""
+    `tables` is a scene/instanced.py InstancedTables.
+
+    flat_grid=True replaces the K-item-round while_loop with ONE 1-D
+    dispatch: a grid step per live (block, work-item) pair (bucketed to
+    a power-of-two ladder of static sizes). The per-chunk cost becomes
+    sum(cnt) instead of max-over-blocks(rounds) * blocks * K, and the
+    per-round XLA merge traffic disappears; None reads env
+    JRT_INST_FLAT."""
+    if flat_grid is None:
+        flat_grid = os.environ.get("JRT_INST_FLAT", "") == "1"
     sup = tables.sup
     q = tables.n_prims
     n_items = max(len(tables.wi_sup), 1)
@@ -1494,7 +1527,109 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
     max_rounds = -(-n_items // K)
     n_pad_items = max_rounds * K
 
-    kernel = _make_kernel_instanced(K, sup, q)
+    kernel = _make_kernel_instanced(K, sup, q, flat=flat_grid)
+    _scratch = [
+        pltpu.VMEM((sup, ROWS), jnp.int32),
+        pltpu.VMEM((sup, 1), jnp.int32),
+        pltpu.VMEM((max(sup // 8, 1), 1), jnp.int32),
+        pltpu.VMEM((ROWS, LANES), jnp.float32),
+        pltpu.VMEM((ROWS, LANES), jnp.int32),
+    ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6
+
+    def chunk_call_flat(rays_packed, sub_blocks, order, cnt):
+        """One grid step per live (block, work-item) pair. Data-dependent
+        total -> power-of-two ladder of static grid sizes under a
+        lax.switch (tail steps carry flags=0 and repeat the previous
+        index maps, so their DMAs are skipped)."""
+        nb = sub_blocks
+        capf = nb * n_pad_items
+        cnt1 = jnp.maximum(cnt, 1)  # every block needs >= 1 step to emit
+        starts = jnp.cumsum(cnt1) - cnt1
+        total = starts[-1] + cnt1[-1]
+        jf = jnp.arange(capf, dtype=jnp.int32)
+        marks = jnp.zeros(capf, jnp.int32).at[starts].add(1)
+        blk = jnp.cumsum(marks) - 1
+        rank = jf - starts[blk]
+        valid = rank < cnt1[blk]
+        item = order[blk, jnp.minimum(rank, n_pad_items - 1)]
+        sc = wsup_d[item]
+        xr = winst_d[item]
+        first = (rank == 0) & valid
+        last = (rank == cnt1[blk] - 1) & valid
+        flg = (
+            first.astype(jnp.int32)
+            | (last.astype(jnp.int32) << 1)
+            | (valid.astype(jnp.int32) << 2)
+        )
+        shape_f = jax.ShapeDtypeStruct((nb * 9 * ROWS, LANES), jnp.float32)
+        shape_i = jax.ShapeDtypeStruct((nb * 2 * ROWS, LANES), jnp.int32)
+
+        caps = [capf]
+        while caps[-1] > 4096 and len(caps) < 8:
+            caps.append(-(-caps[-1] // 2))
+        caps = sorted(set(caps))
+
+        def branch(cap):
+            def run(args):
+                blk_, sc_, xr_, flg_, rays = args
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=4,
+                    grid=(cap,),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (8 * ROWS, LANES),
+                            lambda j, b, s, x, f: (b[j], 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (1, sup, 8),
+                            lambda j, b, s, x, f: (s[j], 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (1, sup, 16, TRIS),
+                            lambda j, b, s, x, f: (s[j], 0, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (1, 1, 24),
+                            lambda j, b, s, x, f: (x[j], 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec(
+                            (9 * ROWS, LANES),
+                            lambda j, b, s, x, f: (b[j], 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (2 * ROWS, LANES),
+                            lambda j, b, s, x, f: (b[j], 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    scratch_shapes=_scratch,
+                )
+                return pl.pallas_call(
+                    kernel,
+                    grid_spec=grid_spec,
+                    out_shape=[shape_f, shape_i],
+                    interpret=interpret,
+                )(blk_[:cap], sc_[:cap], xr_[:cap], flg_[:cap],
+                  rays, bbox_d, tab_d, xf_d)
+
+            return run
+
+        # beyond `total`, blk saturates at nb-1 and valid is False — a
+        # truncated tail is pure no-op padding, so any cap >= total is
+        # equivalent to the full grid
+        idx = jnp.searchsorted(jnp.asarray(caps, jnp.int32), total)
+        return jax.lax.switch(
+            jnp.minimum(idx, len(caps) - 1),
+            [branch(c) for c in caps],
+            (blk, sc, xr, flg, rays_packed),
+        )
 
     def chunk_call(rays_packed, sub_blocks, wq, cnt):
         shape_f = jax.ShapeDtypeStruct((sub_blocks * 9 * ROWS, LANES), jnp.float32)
@@ -1533,13 +1668,7 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((sup, ROWS), jnp.int32),
-                pltpu.VMEM((sup, 1), jnp.int32),
-                pltpu.VMEM((max(sup // 8, 1), 1), jnp.int32),
-                pltpu.VMEM((ROWS, LANES), jnp.float32),
-                pltpu.VMEM((ROWS, LANES), jnp.int32),
-            ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6,
+            scratch_shapes=_scratch,
         )
         return pl.pallas_call(
             kernel,
@@ -1613,6 +1742,18 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
             rsel = slice(blo_i * ROWS, bhi_i * ROWS)
             ccomp = [c[rsel] for c in comps]
             order, tlow_sorted, cnt = beam_precull(ccomp, nb)
+
+            if flat_grid:
+                of, oi = chunk_call_flat(
+                    jnp.stack(ccomp, axis=0)
+                    .reshape(8, nb, ROWS, LANES)
+                    .transpose(1, 0, 2, 3)
+                    .reshape(nb * 8 * ROWS, LANES),
+                    nb, order, cnt,
+                )
+                parts_f.append(of.reshape(nb, 9, ROWS, LANES))
+                parts_i.append(oi.reshape(nb, 2, ROWS, LANES))
+                continue
 
             packed0 = (
                 jnp.stack(ccomp, axis=0)

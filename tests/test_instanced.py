@@ -107,6 +107,27 @@ def test_instanced_kernel_interpret_matches_flat(inst_scene):
     _check_vs_flat(ref, got)
 
 
+def test_instanced_kernel_flat_grid_interpret(inst_scene):
+    """The flattened 1-D dispatch (one grid step per live (block,
+    work-item) pair, power-of-two bucket ladder) must match the flat
+    brute force exactly like the round-based while_loop dispatch does,
+    across multiple ray blocks (per-block init/emit flags)."""
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        make_cluster_intersect_instanced,
+    )
+
+    scene, ro, rd = inst_scene
+    n = ro.shape[0]
+    tmin = jnp.full(n, 1e-4)
+    tmax = jnp.full(n, 3.4e38)
+    ref = _flat_ref(scene, ro, rd, tmin, tmax)
+    dsc, cfg = build_device_scene_instanced(scene)
+    got = make_cluster_intersect_instanced(
+        cfg.inst_tables, interpret=True, flat_grid=True
+    )(ro, rd, tmin, tmax)
+    _check_vs_flat(ref, got)
+
+
 def _check_vs_flat(ref, got):
     h1, t1 = np.asarray(ref.hit), np.asarray(ref.t)
     h2, t2 = np.asarray(got.hit), np.asarray(got.t)
