@@ -157,6 +157,84 @@ def make_intersect_instanced_ref(dscene: DeviceScene, config: SceneConfig):
     return intersect
 
 
+def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
+                          on_tpu: bool):
+    """Hybrid instanced intersector: the flattened world-space soup
+    (instances of small many-instance shapes, config.hyb_world_verts)
+    goes through the worklist cluster kernel; the remaining big-shape
+    instances go through the two-level work-item kernel with the flat
+    branch's best-t fed as tmax (front-to-back: the world soup carries
+    most visible geometry in canopy scenes, so the instanced precull
+    sees tight rays). Flattened hit prim ids are remapped into the
+    shared shape-space eval layout (config.hyb_remap), so shading is
+    identical for both branches. See scene/instanced.py."""
+    import numpy as np
+
+    wpv = np.asarray(config.hyb_world_verts)
+    winst = np.asarray(config.hyb_world_inst)
+    remap_d = jnp.asarray(config.hyb_remap)
+    tables = config.inst_tables
+    has_items = len(tables.wi_inst) > 0
+
+    if on_tpu:
+        from julia_raytracer_tpu.ops.pallas_cluster import (
+            make_cluster_intersect_instanced,
+            make_cluster_intersect_worklist,
+        )
+        from julia_raytracer_tpu.ops.pallas_intersect import (
+            make_bruteforce_pallas,
+        )
+
+        if len(wpv) <= BRUTEFORCE_THRESHOLD:
+            flat_part = make_bruteforce_pallas(wpv, winst)
+        else:
+            flat_part = make_cluster_intersect_worklist(
+                wpv, winst, cache_key=config.cache_key + ":hybf"
+            )
+        inst_part = (
+            make_cluster_intersect_instanced(tables) if has_items else None
+        )
+    else:
+        wpv_d, winst_d = jnp.asarray(wpv), jnp.asarray(winst)
+
+        def flat_part(ro, rd, tmin, tmax):
+            return intersect_bruteforce(
+                wpv_d, ro, rd, tmin, tmax, prim_instance=winst_d
+            )
+
+        inst_part = (
+            make_intersect_instanced_ref(dscene, config) if has_items else None
+        )
+
+    def intersect(ro, rd, tmin, tmax):
+        h1 = flat_part(ro, rd, tmin, tmax)
+        prim1 = jnp.where(
+            h1.hit, jnp.take(remap_d, jnp.maximum(h1.prim, 0)), -1
+        )
+        if inst_part is None:
+            return h1._replace(prim=prim1)
+        # strict-improvement tmax: the instanced branch only reports hits
+        # closer than the flat branch's best
+        t_cut = jnp.where(h1.hit, h1.t * jnp.float32(1.0000002), tmax)
+        h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut))
+        take2 = h2.hit
+        sel = lambda a, b: jnp.where(take2, a, b)
+        selv = lambda a, b: jnp.where(take2[:, None], a, b)
+        hit = h1.hit | take2
+        return Hit(
+            hit=hit,
+            prim=sel(h2.prim, prim1),
+            u=sel(h2.u, h1.u),
+            v=sel(h2.v, h1.v),
+            t=jnp.where(hit, sel(h2.t, h1.t), tmax),
+            position=selv(h2.position, h1.position),
+            gnormal=selv(h2.gnormal, h1.gnormal),
+            instance=sel(h2.instance, h1.instance),
+        )
+
+    return intersect
+
+
 def curve_wrap(intersect, dscene: DeviceScene, config: SceneConfig):
     """Merge line/point (capsule) primitives into a quad intersector's
     closest hit (src/geometry.jl:113-172, src/bvh.jl:408-443). Curve hits
@@ -247,6 +325,8 @@ def make_intersect(dscene: DeviceScene, config: SceneConfig):
     possibly-traced dscene arrays). Tiny scenes use the dense brute-force
     path (pure VPU, zero gathers)."""
     if config.inst_tables is not None:
+        if config.hyb_world_verts is not None and len(config.hyb_world_verts):
+            return make_intersect_hybrid(dscene, config, on_tpu=False)
         return make_intersect_instanced_ref(dscene, config)
     if config.root_is_leaf or config.n_prims <= BRUTEFORCE_THRESHOLD:
         def intersect(ro, rd, tmin, tmax):
@@ -273,6 +353,8 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if config.inst_tables is not None:
+        if config.hyb_world_verts is not None and len(config.hyb_world_verts):
+            return make_intersect_hybrid(dscene, config, on_tpu)
         if on_tpu:
             from julia_raytracer_tpu.ops.pallas_cluster import (
                 make_cluster_intersect_instanced,

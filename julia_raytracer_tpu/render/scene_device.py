@@ -132,6 +132,14 @@ class SceneConfig(NamedTuple):
     # curve/point primitive counts (0 = paths statically absent)
     n_lines: int = 0
     n_points: int = 0
+    # hybrid instancing (scene/instanced.py build_world_flat): instances
+    # of many-instance small shapes are flattened to a world-space soup
+    # intersected by the worklist kernel, the rest stay work items; a
+    # remap table maps flattened hit prim ids back into the shared
+    # shape-space eval layout. All host-side numpy; None = pure instanced.
+    hyb_world_verts: object = None  # f32 [Pf, 4, 3]
+    hyb_world_inst: object = None  # i32 [Pf]
+    hyb_remap: object = None  # i32 [Pf] -> eval prim id
 
 
 def _opt(a, shape, dtype=np.float32) -> np.ndarray:
@@ -190,23 +198,63 @@ def _should_instance(scene_data) -> bool:
     )
 
 
+HYBRID_MIN_INSTANCES = 1024  # below this the work-item model is cheap
+HYBRID_FLAT_BUDGET = 8_000_000  # world prims the hybrid may flatten
+
+
 def build_device_scene_instanced(
-    scene_data, sup: int = 32, cache_key: str = ""
+    scene_data, sup: int = 32, cache_key: str = "",
+    hybrid_budget: int | None = None,
 ) -> tuple[DeviceScene, SceneConfig]:
     """Two-level instanced build: per-shape cluster tables in shape space
     + (instance, supercluster) work items (scene/instanced.py); the
     flattened world expansion never happens. Reference semantics:
     src/bvh.jl:306-371 (scene BVH over instances, ray transformed into
-    shape space at leaves)."""
+    shape space at leaves).
+
+    For many-instance scenes (ecosys: 12,755 instances), a HYBRID build
+    flattens the instances of small shapes (the grass canopy that floods
+    every ray block with hundreds of overlapping work items) into a
+    world-space soup for the worklist kernel, keeping only big shapes as
+    work items. hybrid_budget: max flattened world prims; None = auto
+    (HYBRID_FLAT_BUDGET when n_instances >= HYBRID_MIN_INSTANCES, else
+    off); 0 = force off."""
     from types import SimpleNamespace
 
     from julia_raytracer_tpu.scene.instanced import (
-        build_instanced_tables, expand_emissive_world_prims,
+        build_instanced_tables, build_world_flat,
+        expand_emissive_world_prims, select_flatten_shapes,
     )
 
     flat = flatten_scene(scene_data, expand_prims=False)
     g = flat.geometry
-    tables, eval_arrays = build_instanced_tables(scene_data, flat, sup=sup)
+
+    if hybrid_budget is None:
+        hybrid_budget = (
+            HYBRID_FLAT_BUDGET
+            if flat.n_instances >= HYBRID_MIN_INSTANCES
+            else 0
+        )
+    hyb_pv = hyb_inst = hyb_remap = None
+    instance_mask = None
+    if hybrid_budget > 0:
+        shape_mask = select_flatten_shapes(flat, hybrid_budget)
+        if shape_mask.any():
+            hyb_pv, hyb_inst, hyb_remap = build_world_flat(
+                flat, shape_mask, sup=sup
+            )
+            if len(hyb_pv):
+                inst_shape = g.inst_shape[: flat.n_instances]
+                flattened = shape_mask[
+                    np.clip(inst_shape, 0, flat.n_shapes - 1)
+                ] & (inst_shape >= 0) & (inst_shape < flat.n_shapes)
+                instance_mask = ~flattened
+            else:
+                hyb_pv = hyb_inst = hyb_remap = None
+
+    tables, eval_arrays = build_instanced_tables(
+        scene_data, flat, sup=sup, instance_mask=instance_mask
+    )
 
     # light table from ONLY the emissive instances, expanded to world
     epv, epin, epfl = expand_emissive_world_prims(scene_data, flat)
@@ -232,9 +280,16 @@ def build_device_scene_instanced(
         )
 
     wib = tables.wi_bbox
+    lo_parts, hi_parts = [], []
+    if len(wib):
+        lo_parts.append(wib[:, 0:3].min(axis=0))
+        hi_parts.append(wib[:, 3:6].max(axis=0))
+    if hyb_pv is not None and len(hyb_pv):
+        lo_parts.append(hyb_pv.reshape(-1, 3).min(axis=0))
+        hi_parts.append(hyb_pv.reshape(-1, 3).max(axis=0))
     world_bounds = (
-        (wib[:, 0:3].min(axis=0), wib[:, 3:6].max(axis=0))
-        if len(wib)
+        (np.min(lo_parts, axis=0), np.max(hi_parts, axis=0))
+        if lo_parts
         else (np.zeros(3, np.float32), np.ones(3, np.float32))
     )
     return _assemble(
@@ -251,6 +306,9 @@ def build_device_scene_instanced(
         cache_key=cache_key,
         inst_tables=tables,
         world_bounds=world_bounds,
+        hyb_world_verts=hyb_pv,
+        hyb_world_inst=hyb_inst,
+        hyb_remap=hyb_remap,
     )
 
 
@@ -347,6 +405,7 @@ def _assemble(
     flat, *, host_prim_verts, host_prim_instance, sorted_vidx, sorted_flags,
     nodes_np, n_prims, root_is_leaf, lights, light_counts, cache_key,
     inst_tables=None, world_bounds=None,
+    hyb_world_verts=None, hyb_world_inst=None, hyb_remap=None,
 ) -> tuple[DeviceScene, SceneConfig]:
     """Shared tail of the device-scene build: upload arrays and derive the
     static SceneConfig (both flat and instanced modes)."""
@@ -438,5 +497,8 @@ def _assemble(
         world_bounds=world_bounds,
         n_lines=len(_opt(g.line_instance, (0,), np.int32)),
         n_points=len(_opt(g.point_instance, (0,), np.int32)),
+        hyb_world_verts=hyb_world_verts,
+        hyb_world_inst=hyb_world_inst,
+        hyb_remap=hyb_remap,
     )
     return dscene, config

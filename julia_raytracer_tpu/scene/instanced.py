@@ -64,7 +64,7 @@ def _shape_morton_order(verts: np.ndarray) -> np.ndarray:
 
 
 def build_instanced_tables(
-    scene, flat: FlatScene, sup: int = 32
+    scene, flat: FlatScene, sup: int = 32, instance_mask=None
 ) -> tuple[InstancedTables, dict]:
     """Build instanced cluster tables + work items from a non-expanded
     flatten (flatten_scene(expand_prims=False)).
@@ -72,6 +72,11 @@ def build_instanced_tables(
     Returns (tables, eval_arrays) where eval_arrays holds the
     morton-ordered cluster-padded shape-space prim arrays
     (prim_verts/prim_vidx/prim_flags) the kernel's prim ids index.
+
+    instance_mask (bool [n_instances], optional) restricts WORK ITEMS to
+    the masked instances (the hybrid build flattens the rest to world
+    space, scene/instanced.py select_flatten_shapes); tables and eval
+    arrays still cover every shape so any prim id remains resolvable.
     """
     from julia_raytracer_tpu.ops.pallas_cluster import (
         PRIMS_PER_CLUSTER, TRIS, build_cluster_tables,
@@ -166,6 +171,8 @@ def build_instanced_tables(
     # work items: vectorized per shape over its instances
     inst_shape = g.inst_shape[:I] if I else np.zeros(0, np.int32)
     valid = (inst_shape != INVALID_ID) & (inst_shape >= 0) & (inst_shape < S)
+    if instance_mask is not None:
+        valid = valid & np.asarray(instance_mask, bool)[:I]
     wi_sup_l, wi_inst_l, wi_bbox_l = [], [], []
     for sid in range(S):
         ns = int(shape_sup_offset[sid + 1] - shape_sup_offset[sid])
@@ -273,3 +280,114 @@ def expand_emissive_world_prims(scene, flat: FlatScene):
         np.zeros(0, np.int32),
         np.zeros(0, np.int32),
     )
+
+
+def select_flatten_shapes(flat: FlatScene, budget: int) -> np.ndarray:
+    """Pick shapes whose instances the hybrid build should flatten to
+    world space: smallest shapes first (the many-instance canopy that
+    floods the work-item model with (instance, supercluster) pairs)
+    until the flattened world-prim budget is spent. Returns bool [S].
+
+    Rationale: the work-item kernel's per-block cost scales with the
+    number of overlapping instance items (ecosys grass: hundreds of
+    candidates per 1024-ray block), while the flattened worklist kernel
+    culls at world-space supercluster granularity. Big shapes stay
+    instanced — flattening them is what two-level instancing avoids
+    (the reference's scene-BVH-over-instances, src/bvh.jl:306-371)."""
+    g = flat.geometry
+    off = g.shape_prim_offset
+    S = flat.n_shapes
+    I = flat.n_instances
+    pp = np.diff(off).astype(np.int64)
+    inst_shape = g.inst_shape[:I] if I else np.zeros(0, np.int32)
+    valid = (inst_shape != INVALID_ID) & (inst_shape >= 0) & (inst_shape < S)
+    cnt = np.bincount(inst_shape[valid], minlength=S)
+    world = pp * cnt
+    mask = np.zeros(S, bool)
+    spent = 0
+    for sid in np.argsort(pp, kind="stable"):
+        if cnt[sid] == 0 or pp[sid] == 0:
+            continue
+        if spent + world[sid] > budget:
+            continue  # later shapes are bigger per prim but may have
+            # few instances — keep scanning for ones that still fit
+        mask[sid] = True
+        spent += int(world[sid])
+    return mask
+
+
+def build_world_flat(flat: FlatScene, shape_mask: np.ndarray, sup: int = 32):
+    """World-expand every instance of the masked shapes into a single
+    morton-ordered prim soup for the flattened worklist kernel.
+
+    Returns (world_pv f32 [Pf,4,3], world_inst i32 [Pf],
+    remap i32 [Pf]) where remap[k] is the INSTANCED-EVAL-LAYOUT prim id
+    (base + within-shape morton position, matching
+    build_instanced_tables' eval arrays) — the hybrid intersector maps
+    flattened hits back into the shared shape-space eval tables with one
+    gather, so shading is identical for both branches."""
+    from julia_raytracer_tpu.ops.bvh import _morton3
+    from julia_raytracer_tpu.ops.pallas_cluster import PRIMS_PER_CLUSTER
+
+    g = flat.geometry
+    off = g.shape_prim_offset
+    S = flat.n_shapes
+    I = flat.n_instances
+    inst_shape = g.inst_shape[:I] if I else np.zeros(0, np.int32)
+
+    # eval prim-id bases: EXACTLY build_instanced_tables' padding walk
+    eval_base = np.zeros(S + 1, np.int64)
+    for sid in range(S):
+        p = int(off[sid + 1] - off[sid])
+        if p == 0:
+            eval_base[sid + 1] = eval_base[sid]
+            continue
+        c = max(1, -(-p // PRIMS_PER_CLUSTER))
+        c_pad = -(-c // sup) * sup
+        eval_base[sid + 1] = eval_base[sid] + c_pad * PRIMS_PER_CLUSTER
+
+    pv_l, in_l, rm_l = [], [], []
+    for sid in np.nonzero(shape_mask)[0]:
+        lo, hi = int(off[sid]), int(off[sid + 1])
+        p = hi - lo
+        if p == 0:
+            continue
+        members = np.nonzero(
+            (inst_shape == sid)
+            & (inst_shape != INVALID_ID)
+        )[0]
+        if len(members) == 0:
+            continue
+        order = _shape_morton_order(g.prim_verts[lo:hi])
+        inv_order = np.empty(p, np.int64)
+        inv_order[order] = np.arange(p)
+        eval_ids = (eval_base[sid] + inv_order).astype(np.int32)
+        verts = g.prim_verts[lo:hi]  # [p, 4, 3] shape space
+        rots = g.inst_frame[members, :3]  # [m, 3, 3]
+        orgs = g.inst_frame[members, 3]  # [m, 3]
+        world = (
+            np.einsum("pkj,mji->mpki", verts, rots) + orgs[:, None, None, :]
+        ).astype(np.float32)  # [m, p, 4, 3]
+        m = len(members)
+        pv_l.append(world.reshape(m * p, 4, 3))
+        in_l.append(np.repeat(members.astype(np.int32), p))
+        rm_l.append(np.tile(eval_ids, m))
+
+    if not pv_l:
+        return (
+            np.zeros((0, 4, 3), np.float32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+        )
+    world_pv = np.concatenate(pv_l, axis=0)
+    world_inst = np.concatenate(in_l)
+    remap = np.concatenate(rm_l)
+
+    # global morton order over world centroids (cluster coherence for
+    # the worklist kernel — same contract as scene_device's flat build)
+    cen = world_pv.mean(axis=1)
+    lo3 = cen.min(axis=0)
+    ext = np.maximum(cen.max(axis=0) - lo3, 1e-30)
+    qv = np.clip(((cen - lo3) / ext) * ((1 << 21) - 1), 0, (1 << 21) - 1)
+    gorder = np.argsort(_morton3(qv.astype(np.uint64)), kind="stable")
+    return world_pv[gorder], world_inst[gorder], remap[gorder]

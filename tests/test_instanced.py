@@ -177,3 +177,85 @@ def test_instanced_render_smoke(inst_scene):
     rad = np.asarray(rad)
     assert np.isfinite(rad).all()
     assert rad.max() > 0
+
+
+def test_hybrid_partition_and_remap(inst_scene):
+    """budget=60 flattens only shape 1 (25 prims x 2 instances = 50);
+    shape 0 (40 x 3 = 120) stays as work items. The remap table must
+    send every flattened world prim to the shape-space eval prim whose
+    instance-transformed verts reproduce it exactly."""
+    scene, ro, rd = inst_scene
+    dsc, cfg = build_device_scene_instanced(scene, hybrid_budget=60)
+    assert cfg.hyb_world_verts is not None
+    assert len(cfg.hyb_world_verts) == 50
+    # only shape-0 instances remain as work items
+    left = set(np.asarray(cfg.inst_tables.wi_inst).tolist())
+    assert left == {0, 1, 4}
+    pv_eval = np.asarray(dsc.prim_verts)  # shape-space eval layout
+    rows = np.asarray(cfg.inst_tables.inst_rows)
+    wpv = np.asarray(cfg.hyb_world_verts)
+    winst = np.asarray(cfg.hyb_world_inst)
+    remap = np.asarray(cfg.hyb_remap)
+    for k in range(0, len(wpv), 7):
+        i = int(winst[k])
+        rot = rows[i, 12:21].reshape(3, 3)
+        org = -(rows[i, 9:12] @ rot)  # oi = -org @ Ri  =>  org = -oi @ R
+        world = pv_eval[remap[k]] @ rot + org
+        np.testing.assert_allclose(world, wpv[k], rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_intersect_matches_flat(inst_scene):
+    """Mixed hybrid (some shapes flattened, some work items) and
+    fully-flattened hybrid must both match the flat brute force."""
+    from julia_raytracer_tpu.render.integrator import make_intersect_hybrid
+
+    scene, ro, rd = inst_scene
+    n = ro.shape[0]
+    tmin = jnp.full(n, 1e-4)
+    tmax = jnp.full(n, 3.4e38)
+    ref = _flat_ref(scene, ro, rd, tmin, tmax)
+    for budget in (60, 1_000_000):
+        dsc, cfg = build_device_scene_instanced(scene, hybrid_budget=budget)
+        assert cfg.hyb_world_verts is not None and len(cfg.hyb_world_verts)
+        if budget > 100:
+            assert len(cfg.inst_tables.wi_inst) == 0  # all flattened
+        got = make_intersect_hybrid(dsc, cfg, on_tpu=False)(ro, rd, tmin, tmax)
+        _check_vs_flat(ref, got)
+        # remapped prim ids must land on real (non-padding) eval prims
+        hp = np.asarray(got.prim)[np.asarray(got.hit)]
+        assert (hp >= 0).all() and (hp < cfg.n_prims).all()
+        pv_eval = np.asarray(dsc.prim_verts)
+        assert (np.abs(pv_eval[hp]).sum(axis=(1, 2)) > 0).all()
+
+
+def test_hybrid_render_matches_pure_instanced(inst_scene):
+    """Shading parity: the hybrid build must render (wavefront MIS path)
+    the same image as the pure instanced build — remapped flat-branch
+    prim ids feed the identical shape-space eval tables."""
+    from julia_raytracer_tpu.render.integrator import (
+        TraceOptions, build_intersector, trace_wavefront,
+    )
+    from julia_raytracer_tpu.utils import rng as rng_mod
+
+    scene, ro, rd = inst_scene
+    if not scene.environments:
+        from julia_raytracer_tpu.scene.types import EnvironmentData
+
+        scene.environments.append(
+            EnvironmentData(emission=np.array([1.0, 1.0, 1.0], np.float32))
+        )
+    n = ro.shape[0]
+    imgs = []
+    for budget in (0, 60):
+        dsc, cfg = build_device_scene_instanced(scene, hybrid_budget=budget)
+        rngs = rng_mod.seed_state(
+            jnp.arange(n, dtype=jnp.int32), jnp.int32(0), 0
+        )
+        opts = TraceOptions(sampler="path", bounces=3)
+        rad = trace_wavefront(
+            dsc, cfg, opts, ro, rd, rngs,
+            intersect=build_intersector(dsc, cfg),
+        )[0]
+        imgs.append(np.asarray(rad))
+        assert np.isfinite(imgs[-1]).all()
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=2e-3, atol=2e-3)
