@@ -240,9 +240,27 @@ def build_device_scene_instanced(
     if hybrid_budget > 0:
         shape_mask = select_flatten_shapes(flat, hybrid_budget)
         if shape_mask.any():
-            hyb_pv, hyb_inst, hyb_remap = build_world_flat(
-                flat, shape_mask, sup=sup
+            from julia_raytracer_tpu.utils import diskcache
+
+            hyb_name = f"hybrid{hybrid_budget}"
+            cached = (
+                diskcache.load_arrays(cache_key, hyb_name)
+                if cache_key
+                else None
             )
+            if cached is not None:
+                hyb_pv = cached["pv"]
+                hyb_inst = cached["inst"]
+                hyb_remap = cached["remap"]
+            else:
+                hyb_pv, hyb_inst, hyb_remap = build_world_flat(
+                    flat, shape_mask, sup=sup
+                )
+                if cache_key and len(hyb_pv) > 200_000:
+                    diskcache.save_arrays(
+                        cache_key, hyb_name,
+                        dict(pv=hyb_pv, inst=hyb_inst, remap=hyb_remap),
+                    )
             if len(hyb_pv):
                 inst_shape = g.inst_shape[: flat.n_instances]
                 flattened = shape_mask[

