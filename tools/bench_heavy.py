@@ -86,6 +86,12 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
             ),
             "work_items": int(len(tb.wi_sup)),
         }
+        hyb = getattr(r.config, "hyb_world_verts", None)
+        if hyb is not None and len(hyb):
+            # hybrid build: world soup tables are intersector-only
+            # (128 B/prim cluster tables); eval stays shape-space
+            extra["hybrid_world_prims"] = int(len(hyb))
+            extra["hybrid_world_tables_mb"] = round(len(hyb) * 128 / 1e6, 1)
     return {
         "resolution": f"{state.width}x{state.height}",
         "spp_measured": measured,

@@ -54,6 +54,12 @@ def main():
         f"items={len(tabs.wi_sup)} instances={tabs.inst_rows.shape[0]} "
         f"sup={tabs.sup} n_prims={tabs.n_prims}"
     )
+    hyb = getattr(r.config, "hyb_world_verts", None)
+    if hyb is not None and len(hyb):
+        print(
+            f"hybrid: {len(hyb)} world prims flattened; instanced branch "
+            f"keeps {len(set(np.asarray(tabs.wi_inst).tolist()))} instances"
+        )
 
     state = make_trace_state(scene, params)
     W, H = state.width, state.height
