@@ -1036,11 +1036,11 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
     def chunk_call_flat(rays_packed, sub_blocks, order, cnt):
         """Flattened 1-D dispatch: one grid step per live (block,
         supercluster) pair. The step count is data-dependent, so it is
-        bucketed to 4 static grid sizes (full, 1/2, 1/4, 1/8 of the
-        worst case) under a lax.switch — the smallest bucket that holds
-        sum(cnt) runs; tail-padding steps carry flags=0 and do nothing
-        (their index maps repeat the final block/supercluster, so the
-        pipeline skips their DMAs too)."""
+        bucketed to a power-of-two ladder of static grid sizes (down to
+        4096 steps, max 8 buckets) under a lax.switch — the smallest
+        bucket that holds sum(cnt) runs; tail-padding steps carry
+        flags=0 and do nothing (their index maps repeat the final
+        block/supercluster, so the pipeline skips their DMAs too)."""
         nb = sub_blocks
         capf = nb * S
         cnt1 = jnp.maximum(cnt, 1)  # every block needs >= 1 step to emit
@@ -1062,8 +1062,10 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         shape_f = jax.ShapeDtypeStruct((nb * 9 * ROWS, LANES), jnp.float32)
         shape_i = jax.ShapeDtypeStruct((nb * 2 * ROWS, LANES), jnp.int32)
 
-        caps = sorted({max(1, -(-capf // 8)), max(1, -(-capf // 4)),
-                       max(1, -(-capf // 2)), capf})
+        caps = [capf]
+        while caps[-1] > 4096 and len(caps) < 8:
+            caps.append(-(-caps[-1] // 2))
+        caps = sorted(set(caps))
 
         def branch(cap):
             def run(args):
