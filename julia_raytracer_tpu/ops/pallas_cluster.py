@@ -994,10 +994,14 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
     make_cluster_intersect_hbm.
 
     flat_grid=True runs the 1-D flattened grid (one step per live
-    (block, supercluster) pair, bucketed to 4 static sizes) instead of
-    the rectangular (blocks, S) grid; None reads env JRT_WL_FLAT."""
+    (block, supercluster) pair, bucketed static sizes) instead of the
+    rectangular (blocks, S) grid; None reads env JRT_WL_FLAT. Env
+    JRT_WL_SUP overrides sup (hardware sweeps: smaller superclusters =
+    tighter precull boxes but more grid steps)."""
     if flat_grid is None:
         flat_grid = os.environ.get("JRT_WL_FLAT", "") == "1"
+    if os.environ.get("JRT_WL_SUP"):
+        sup = int(os.environ["JRT_WL_SUP"])
     q = len(prim_verts_np)
     tfm, nrm, bbox, n_clusters = _load_tables(prim_verts_np, prim_instance, cache_key)
     sbbox = _wl_super_bbox(bbox, sup)
