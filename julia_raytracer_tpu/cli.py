@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default="", help="resume from checkpoint .npz")
     p.add_argument("--checkpoint", default="", help="write checkpoint .npz per batch")
     p.add_argument("--aov-prefix", default="", help="also save albedo/normal AOV PNGs")
+    p.add_argument(
+        "--trace-profile", default="",
+        help="write a JAX/XLA profiler trace (TensorBoard format) of one "
+        "steady-state sample batch to this directory",
+    )
     return p
 
 
@@ -114,10 +119,21 @@ def main(argv=None) -> int:
     print("tracing samples...")
 
     sampling_start = time.monotonic()
+    profiled = not a.trace_profile
     while state.samples < params.samples:
         batch_start = time.monotonic()
-        state = renderer.trace_samples(state)
-        state.image.block_until_ready()
+        if not profiled and state.samples > 0:
+            # second batch: compile is done, this is the steady state
+            import jax.profiler
+
+            with jax.profiler.trace(a.trace_profile):
+                state = renderer.trace_samples(state)
+                state.image.block_until_ready()
+            profiled = True
+            print(f"profiler trace written to {a.trace_profile}")
+        else:
+            state = renderer.trace_samples(state)
+            state.image.block_until_ready()
         now = time.monotonic()
         etc = (now - sampling_start) / max(state.samples, 1) * (
             params.samples - state.samples

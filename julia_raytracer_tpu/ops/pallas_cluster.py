@@ -1220,8 +1220,13 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             .reshape(nblocks * 8 * ROWS, LANES)
         )
         parts_f, parts_i = [], []
-        for blo in range(0, nblocks, WORKLIST_BLOCKS):
-            bhi = min(blo + WORKLIST_BLOCKS, nblocks)
+        # scale the chunk inversely with S so the [chunk_rays, S]
+        # precull temporaries stay ~180 MB regardless of scene size
+        # (S ~= 1000 for the 8M-prim hybrid canopy soup would otherwise
+        # materialize ~4 GB of transients per chunk)
+        chunk_blocks = max(16, min(WORKLIST_BLOCKS, (256 * 192) // max(S, 1)))
+        for blo in range(0, nblocks, chunk_blocks):
+            bhi = min(blo + chunk_blocks, nblocks)
             nb = bhi - blo
             # per-chunk precull: the [chunk_rays, S] temporaries stay
             # ~180 MB instead of materializing the whole dispatch's
