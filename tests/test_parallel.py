@@ -75,3 +75,80 @@ def test_sharded_train_step(setup):
     assert np.isfinite(np.asarray(new_emission)).all()
     # the light's emission must move (grad flows through the psum)
     assert not np.allclose(np.asarray(new_emission), np.asarray(mats.emission))
+
+
+def test_sharded_hybrid_instanced_render_matches_single():
+    """The hybrid-instancing intersector (flat world soup + work items +
+    remap gather) must be GSPMD-clean: sharded render over the 8-device
+    mesh == single-device render on a hybrid-built instanced scene."""
+    from julia_raytracer_tpu.render.scene_device import (
+        build_device_scene_instanced,
+    )
+    from julia_raytracer_tpu.render.integrator import TraceOptions
+    from julia_raytracer_tpu.scene.types import (
+        CameraData, EnvironmentData, InstanceData, MaterialData, SceneData,
+        ShapeData,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def soup(n_tris, scale):
+        base = rng.normal(size=(n_tris, 3)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        e1 = rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.3
+        e2 = rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.3
+        pos = np.concatenate(
+            [base * scale, base * scale + e1, base * scale + e2]
+        )
+        tris = np.stack(
+            [
+                np.arange(n_tris),
+                n_tris + np.arange(n_tris),
+                2 * n_tris + np.arange(n_tris),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        return ShapeData(triangles=tris, positions=pos)
+
+    def frame(deg, t, s=1.0):
+        th = np.deg2rad(deg)
+        c, sn = np.cos(th), np.sin(th)
+        f = np.zeros((4, 3), np.float32)
+        f[:3] = np.array([[c, 0, -sn], [0, 1, 0], [sn, 0, c]], np.float32) * s
+        f[3] = t
+        return f
+
+    scene = SceneData(
+        cameras=[CameraData()],
+        shapes=[soup(30, 1.0), soup(20, 0.5)],
+        materials=[MaterialData(color=np.array([0.6, 0.7, 0.8], np.float32))],
+        instances=[
+            InstanceData(frame=frame(30 * i, [1.5 * i - 3, 0, 0]), shape=i % 2,
+                         material=0)
+            for i in range(5)
+        ],
+        environments=[
+            EnvironmentData(emission=np.array([1.0, 1.0, 1.0], np.float32))
+        ],
+    )
+    dsc, cfg = build_device_scene_instanced(scene, hybrid_budget=50)
+    assert cfg.hyb_world_verts is not None and len(cfg.hyb_world_verts)
+    assert len(cfg.inst_tables.wi_inst) > 0  # genuinely mixed
+
+    n = 2048
+    ro = np.tile([0.0, 0.0, 8.0], (n, 1)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+    rngs = rng_mod.seed_state(jnp.arange(n, dtype=jnp.int32), jnp.int32(0), 0)
+    opts = TraceOptions(sampler="path", bounces=3)
+
+    mesh = make_mesh(8)
+    render = shard_render_fn(mesh, dsc, cfg, opts)
+    rad_sh, hit_sh, _, _ = render(dsc, ro, rd, rngs)
+    rad_1, hit_1, _, _, _ = trace_wavefront(dsc, cfg, opts, ro, rd, rngs)
+    np.testing.assert_allclose(
+        np.asarray(rad_sh), np.asarray(rad_1), rtol=5e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(hit_sh), np.asarray(hit_1))
