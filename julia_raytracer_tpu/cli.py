@@ -26,8 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene", default="tests/scene.json", help="scene filename")
     p.add_argument("--output", default="tests/test_scene.png", help="output image")
     p.add_argument("--camera", default="", help="camera name")
-    p.add_argument("--addsky", action="store_true", help="add sky (unsupported)")
-    p.add_argument("--envname", default="", help="add environment (unsupported)")
+    p.add_argument("--addsky", action="store_true", help="add a procedural sun-sky environment")
+    p.add_argument("--envname", default="", help="add an environment light from this HDR/PNG panorama")
     p.add_argument("--resolution", type=int, default=1280, help="image resolution")
     p.add_argument("--samples", type=int, default=512, help="number of samples")
     p.add_argument("--bounces", type=int, default=8, help="number of bounces")
@@ -88,21 +88,25 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     params, a = parse_cli_args(sys.argv[1:] if argv is None else argv)
-    # stubbed flags warn exactly like the reference (src/jtrace.jl:35-46)
-    if params.addsky:
-        print("addsky is not yet supported")
-        params.addsky = False
-    if params.envname:
-        print("envname is not yet supported")
-        params.envname = ""
-    # NB --denoise is REAL here (render/denoise.py) — the reference warns
-    # "denoise is not supported" and disables it (src/jtrace.jl:43-46)
+    # NB --addsky / --envname / --denoise are REAL here — the reference
+    # accepts all three but warns "not supported" and disables them
+    # (src/jtrace.jl:35-46; stubs src/scene.jl:413, src/sceneio.jl:95)
 
     render_start = time.monotonic()
     print(f"loading scene {params.scene}...")
     t0 = time.monotonic()
     scene = load_scene(params.scene, parallel=not params.noparallel)
     print(f"loaded scene in {format_seconds(time.monotonic() - t0)}")
+    if params.addsky:
+        from julia_raytracer_tpu.scene.augment import add_sky
+
+        add_sky(scene)
+        print("added procedural sun-sky environment")
+    if params.envname:
+        from julia_raytracer_tpu.scene.augment import add_environment
+
+        add_environment(scene, params.envname)
+        print(f"added environment {params.envname}")
 
     print("finding camera...")
     print("building bvh...")
