@@ -137,6 +137,14 @@ def build_cluster_tables(prim_verts: np.ndarray, prim_instance=None):
     # min/max swap and wastes full sweeps on origin-centered scenes).
     NOHIT = np.float32(3e38)
 
+    # native (C++/OpenMP) fast path: same math, ~10x the chunked-numpy
+    # build; falls back below when no compiler is available
+    from julia_raytracer_tpu.ops.native import build_cluster_tables_native
+
+    pv32c = np.ascontiguousarray(pv32)
+    if build_cluster_tables_native(pv32c, q, c, tfm, nrm4, bbox):
+        return tfm, nrm4, bbox, c
+
     def fill(c_lo: int, c_hi: int) -> None:
         p_lo = c_lo * PRIMS_PER_CLUSTER
         p_hi = c_hi * PRIMS_PER_CLUSTER

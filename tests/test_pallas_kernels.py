@@ -181,3 +181,36 @@ def test_transform_barycentrics():
     np.testing.assert_allclose(got_u, u, atol=1e-9)
     np.testing.assert_allclose(got_v, v, atol=1e-9)
     np.testing.assert_allclose(got_w, 0.0, atol=1e-9)
+
+
+def test_native_cluster_tables_match_numpy(monkeypatch):
+    """The C++/OpenMP table builder must reproduce the numpy build
+    (same double-precision math, f32 stores) including padding clusters,
+    degenerate prims, and the instance-id normal row."""
+    import julia_raytracer_tpu.ops.native as native_mod
+    from julia_raytracer_tpu.ops.pallas_cluster import build_cluster_tables
+
+    rng = np.random.default_rng(5)
+    q = 500  # 8 clusters, last partially padded
+    pv = rng.normal(size=(q, 4, 3)).astype(np.float32)
+    pv[7] = 0.0  # fully degenerate prim
+    pv[11, 1] = pv[11, 0]  # one degenerate triangle of the pair
+    inst = rng.integers(0, 9, q).astype(np.int32)
+
+    if native_mod._load() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    t1, n1, b1, c1 = build_cluster_tables(pv, inst)
+
+    monkeypatch.setenv("JRT_NO_NATIVE", "1")
+    monkeypatch.setattr(native_mod, "_tried", False)
+    monkeypatch.setattr(native_mod, "_lib", None)
+    t2, n2, b2, c2 = build_cluster_tables(pv, inst)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    monkeypatch.setattr(native_mod, "_lib", None)
+
+    assert c1 == c2
+    np.testing.assert_allclose(t1, t2, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(n1, n2, rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(b1, b2)
