@@ -214,3 +214,30 @@ def test_native_cluster_tables_match_numpy(monkeypatch):
     np.testing.assert_allclose(t1, t2, rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(n1, n2, rtol=2e-6, atol=2e-6)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_cluster_worklist_flat_dead_blocks(box_setup):
+    """Wavefront-compaction contract: blocks whose lanes are all dead
+    (tmax = eps, as the integrator marks finished paths) must cost one
+    no-op step and emit clean misses (prim -1, t = tmax) in the flat
+    grid, alongside live blocks that still intersect correctly."""
+    dscene, ro, rd, tmin, tmax, ref = box_setup
+    n = ro.shape[0]
+    ro3 = jnp.tile(ro, (3, 1))
+    rd3 = jnp.tile(rd, (3, 1))
+    tmin3 = jnp.full(3 * n, 1e-4)
+    # middle block dead
+    tmax3 = jnp.concatenate(
+        [jnp.full(n, 3.4e38), jnp.full(n, 1e-4), jnp.full(n, 3.4e38)]
+    )
+    clu = make_cluster_intersect_worklist(
+        np.asarray(dscene.prim_verts), interpret=True, flat_grid=True
+    )
+    got = clu(ro3, rd3, tmin3, tmax3)
+    mid = slice(n, 2 * n)
+    assert not bool(np.asarray(got.hit[mid]).any())
+    np.testing.assert_array_equal(np.asarray(got.prim[mid]), -1)
+    np.testing.assert_allclose(np.asarray(got.t[mid]), 1e-4)
+    # outer blocks still match the single-block reference
+    check(ref, jax.tree.map(lambda a: a[:n], got))
+    check(ref, jax.tree.map(lambda a: a[2 * n:], got))
