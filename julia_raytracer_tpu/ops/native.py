@@ -56,6 +56,12 @@ def _load():
                 ctypes.POINTER(ctypes.c_float),
             ]
             lib.build_cluster_tables.restype = None
+            lib.world_expand_permute.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.world_expand_permute.restype = None
             _lib = lib
         except Exception as e:  # pragma: no cover - environment-dependent
             import sys
@@ -83,5 +89,30 @@ def build_cluster_tables_native(pv32: np.ndarray, q: int, c: int,
         pv32.ctypes.data_as(fp), ctypes.c_int64(q), ctypes.c_int64(c),
         tfm.ctypes.data_as(fp), nrm4.ctypes.data_as(fp),
         bbox.ctypes.data_as(fp),
+    )
+    return True
+
+
+def world_expand_permute_native(shape_verts: np.ndarray, frames: np.ndarray,
+                                src_prim: np.ndarray, src_inst: np.ndarray,
+                                out: np.ndarray) -> bool:
+    """out[k] = shape_verts[src_prim[k]] @ R[src_inst[k]] + t[...] in one
+    streaming OpenMP pass (row-vector convention, frames [I,4,3] with
+    rows 0..2 = R and row 3 = t). Returns False when the native library
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert shape_verts.dtype == np.float32 and shape_verts.flags.c_contiguous
+    assert frames.dtype == np.float32 and frames.flags.c_contiguous
+    assert src_prim.dtype == np.int32 and src_prim.flags.c_contiguous
+    assert src_inst.dtype == np.int32 and src_inst.flags.c_contiguous
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.world_expand_permute(
+        shape_verts.ctypes.data_as(fp), frames.ctypes.data_as(fp),
+        src_prim.ctypes.data_as(ip), src_inst.ctypes.data_as(ip),
+        ctypes.c_int64(len(out)), out.ctypes.data_as(fp),
     )
     return True

@@ -346,7 +346,10 @@ def build_world_flat(flat: FlatScene, shape_mask: np.ndarray, sup: int = 32):
         c_pad = -(-c // sup) * sup
         eval_base[sid + 1] = eval_base[sid] + c_pad * PRIMS_PER_CLUSTER
 
-    pv_l, in_l, rm_l = [], [], []
+    # Pass 1 (cheap): per world prim, the (shape-prim row, instance,
+    # eval-remap) triple plus a world CENTROID — computed by transforming
+    # per-shape centroids, never materializing the [Pf, 4, 3] verts.
+    pr_l, in_l, rm_l, cen_l = [], [], [], []
     for sid in np.nonzero(shape_mask)[0]:
         lo, hi = int(off[sid]), int(off[sid + 1])
         p = hi - lo
@@ -362,34 +365,32 @@ def build_world_flat(flat: FlatScene, shape_mask: np.ndarray, sup: int = 32):
         inv_order = np.empty(p, np.int64)
         inv_order[order] = np.arange(p)
         eval_ids = (eval_base[sid] + inv_order).astype(np.int32)
-        verts = g.prim_verts[lo:hi]  # [p, 4, 3] shape space
+        m = len(members)
+        cen_s = g.prim_verts[lo:hi].mean(axis=1).astype(np.float32)  # [p,3]
         rots = g.inst_frame[members, :3]  # [m, 3, 3]
         orgs = g.inst_frame[members, 3]  # [m, 3]
-        m = len(members)
-        world = (
-            (verts.reshape(1, p * 4, 3) @ rots).reshape(m, p, 4, 3)
-            + orgs[:, None, None, :]
-        ).astype(np.float32, copy=False)  # [m,p,4,3] batched BLAS matmul
-        pv_l.append(world.reshape(m * p, 4, 3))
+        cen_w = (cen_s[None] @ rots) + orgs[:, None, :]  # [m, p, 3]
+        pr_l.append(np.tile(np.arange(lo, hi, dtype=np.int32), m))
         in_l.append(np.repeat(members.astype(np.int32), p))
         rm_l.append(np.tile(eval_ids, m))
+        cen_l.append(cen_w.reshape(-1, 3))
 
-    if not pv_l:
+    if not pr_l:
         return (
             np.zeros((0, 4, 3), np.float32),
             np.zeros(0, np.int32),
             np.zeros(0, np.int32),
         )
-    world_pv = np.concatenate(pv_l, axis=0)
-    world_inst = np.concatenate(in_l)
+    src_prim = np.concatenate(pr_l)
+    src_inst = np.concatenate(in_l)
     remap = np.concatenate(rm_l)
+    cen = np.concatenate(cen_l, axis=0)
 
     # global morton order over world centroids (cluster coherence for
     # the worklist kernel — same contract as scene_device's flat build).
     # 10 bits/axis in uint32: clusters hold 64 prims, so 1024^3 cells is
     # ample granularity, and the u32 spread + introsort is ~8x cheaper
-    # than the 21-bit u64 path at canopy scale (8M prims: 21 s -> ~3 s)
-    cen = world_pv.mean(axis=1)
+    # than the 21-bit u64 path at canopy scale
     lo3 = cen.min(axis=0)
     ext = np.maximum(cen.max(axis=0) - lo3, 1e-30)
     qv = np.clip(((cen - lo3) / ext) * 1023.0, 0, 1023).astype(np.uint32)
@@ -406,4 +407,24 @@ def build_world_flat(flat: FlatScene, shape_mask: np.ndarray, sup: int = 32):
         | (spread10(qv[:, 2]) << np.uint32(2))
     )
     gorder = np.argsort(key)
-    return world_pv[gorder], world_inst[gorder], remap[gorder]
+    src_prim = np.ascontiguousarray(src_prim[gorder])
+    src_inst = np.ascontiguousarray(src_inst[gorder])
+    remap = remap[gorder]
+
+    # Pass 2: fused expand-into-permuted-order. The native one-pass
+    # OpenMP fill skips ~3 GB of numpy intermediates (matmul + concat +
+    # fancy-index gather); numpy fallback below is the same arithmetic.
+    from julia_raytracer_tpu.ops.native import world_expand_permute_native
+
+    n_out = len(src_prim)
+    sv = np.ascontiguousarray(g.prim_verts, np.float32)
+    fr = np.ascontiguousarray(g.inst_frame, np.float32)
+    world_pv = np.empty((n_out, 4, 3), np.float32)
+    if not world_expand_permute_native(sv, fr, src_prim, src_inst, world_pv):
+        rots = fr[src_inst, :3]  # [n, 3, 3]
+        np.einsum(
+            "nkj,nji->nki", sv[src_prim], rots, out=world_pv,
+            casting="unsafe",
+        )
+        world_pv += fr[src_inst, 3][:, None, :]
+    return world_pv, src_inst, remap

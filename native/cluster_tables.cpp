@@ -127,4 +127,28 @@ void build_cluster_tables(const float* pv, int64_t q, int64_t c,
   }
 }
 
+// Fused hybrid-instancing world expansion (scene/instanced.py
+// build_world_flat): out[k] = shape_verts[src_prim[k]] @ rot[src_inst[k]]
+// + org[src_inst[k]] for every flattened world prim, written directly in
+// the morton-permuted order — no [Pf,4,3] intermediates, one streaming
+// pass. verts layout [*, 4, 3] f32 (world = v @ R + t, row-vector
+// convention like scene/flatten.py); frames [I, 4, 3]: rows 0..2 = R,
+// row 3 = t.
+void world_expand_permute(const float* shape_verts, const float* frames,
+                          const int32_t* src_prim, const int32_t* src_inst,
+                          int64_t n_out, float* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t k = 0; k < n_out; k++) {
+    const float* v = shape_verts + static_cast<int64_t>(src_prim[k]) * 12;
+    const float* f = frames + static_cast<int64_t>(src_inst[k]) * 12;
+    float* o = out + k * 12;
+    for (int c = 0; c < 4; c++) {
+      const float x = v[c * 3], y = v[c * 3 + 1], z = v[c * 3 + 2];
+      o[c * 3 + 0] = x * f[0] + y * f[3] + z * f[6] + f[9];
+      o[c * 3 + 1] = x * f[1] + y * f[4] + z * f[7] + f[10];
+      o[c * 3 + 2] = x * f[2] + y * f[5] + z * f[8] + f[11];
+    }
+  }
+}
+
 }  // extern "C"
