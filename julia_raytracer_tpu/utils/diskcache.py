@@ -16,6 +16,11 @@ import numpy as np
 
 _ENV = "JRT_CACHE_DIR"
 
+# Bump when the LAYOUT of any cached product changes (prim order,
+# table format, hybrid partition rule, ...) — scene content alone can't
+# see builder-logic changes, and a stale product would be silently wrong.
+BUILDER_VERSION = "v3"
+
 
 def cache_dir() -> str:
     d = os.environ.get(_ENV)
@@ -49,6 +54,7 @@ def scene_cache_key(scene_path: str, *extra: str) -> str:
         h.update(repr(e).encode())
     for e in extra:
         h.update(e.encode())
+    h.update(BUILDER_VERSION.encode())
     return h.hexdigest()[:20]
 
 
