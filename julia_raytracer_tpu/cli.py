@@ -124,10 +124,13 @@ def main(argv=None) -> int:
 
     sampling_start = time.monotonic()
     profiled = not a.trace_profile
+    batch_i = 0
     while state.samples < params.samples:
         batch_start = time.monotonic()
-        if not profiled and state.samples > 0:
-            # second batch: compile is done, this is the steady state
+        # profile the 2nd batch of THIS process (compile happens in the
+        # 1st, including on --resume), or the 1st when it's the only one
+        last_batch = state.samples + params.batch >= params.samples
+        if not profiled and (batch_i >= 1 or last_batch):
             import jax.profiler
 
             with jax.profiler.trace(a.trace_profile):
@@ -138,6 +141,7 @@ def main(argv=None) -> int:
         else:
             state = renderer.trace_samples(state)
             state.image.block_until_ready()
+        batch_i += 1
         now = time.monotonic()
         etc = (now - sampling_start) / max(state.samples, 1) * (
             params.samples - state.samples

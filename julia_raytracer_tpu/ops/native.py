@@ -42,13 +42,20 @@ def _load():
         so = os.path.join(_SRC_DIR, "libcluster_tables.so")
         try:
             if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-                tmp = so + ".tmp"
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                     "-fPIC", "-o", tmp, src],
-                    check=True, capture_output=True, timeout=120,
-                )
-                os.replace(tmp, so)
+                # per-process tmp name: concurrent builders (multihost,
+                # parallel pytest) must not interleave g++ output into a
+                # shared file before the atomic promote
+                tmp = f"{so}.{os.getpid()}.tmp"
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-march=native", "-fopenmp",
+                         "-shared", "-fPIC", "-o", tmp, src],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                    os.replace(tmp, so)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
             lib = ctypes.CDLL(so)
             lib.build_cluster_tables.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,

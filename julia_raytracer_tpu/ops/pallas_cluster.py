@@ -993,9 +993,46 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int,
     return kernel
 
 
+def _flat_dispatch_plan(order, cnt, nb):
+    """Shared derivation for the flattened 1-D grids (worklist AND
+    instanced kernels): one grid step per live (block, item) pair.
+
+    order: [nb, W] per-block front-to-back candidate ids (tail-padded);
+    cnt: [nb] live counts. Returns (blk, idx, flg, caps, total):
+    per-flattened-step block id, candidate id, flag bits
+    (1 = first item of its block, 2 = last, 4 = valid / not padding),
+    the power-of-two static-size ladder (>= 4096 steps, max 8 buckets),
+    and the live total. Every block gets >= 1 step so it can emit;
+    beyond `total`, blk saturates at nb-1 with valid False — a truncated
+    tail is pure no-op padding, so any cap >= total is equivalent to the
+    full grid."""
+    W = order.shape[1]
+    capf = nb * W
+    cnt1 = jnp.maximum(cnt, 1)
+    starts = jnp.cumsum(cnt1) - cnt1  # exclusive prefix
+    total = starts[-1] + cnt1[-1]
+    jf = jnp.arange(capf, dtype=jnp.int32)
+    marks = jnp.zeros(capf, jnp.int32).at[starts].add(1)
+    blk = jnp.cumsum(marks) - 1  # block id per flattened step
+    rank = jf - starts[blk]
+    valid = rank < cnt1[blk]
+    idx = order[blk, jnp.minimum(rank, W - 1)]
+    first = (rank == 0) & valid
+    last = (rank == cnt1[blk] - 1) & valid
+    flg = (
+        first.astype(jnp.int32)
+        | (last.astype(jnp.int32) << 1)
+        | (valid.astype(jnp.int32) << 2)
+    )
+    caps = [capf]
+    while caps[-1] > 4096 and len(caps) < 8:
+        caps.append(-(-caps[-1] // 2))
+    return blk, idx, flg, sorted(set(caps)), total
+
+
 def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=None,
                                     interpret: bool = False, cache_key: str = "",
-                                    sup: int = WL_SUPER,
+                                    sup: int | None = None,
                                     flat_grid: bool | None = None):
     """Heavy-scene cluster intersector with per-block supercluster work
     lists (see section comment). Drop-in replacement for
@@ -1003,13 +1040,19 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
 
     flat_grid=True runs the 1-D flattened grid (one step per live
     (block, supercluster) pair, bucketed static sizes) instead of the
-    rectangular (blocks, S) grid; None reads env JRT_WL_FLAT. Env
-    JRT_WL_SUP overrides sup (hardware sweeps: smaller superclusters =
-    tighter precull boxes but more grid steps)."""
+    rectangular (blocks, S) grid; None reads env JRT_WL_FLAT. sup=None
+    reads env JRT_WL_SUP (hardware sweeps: smaller superclusters =
+    tighter precull boxes but more grid steps) and defaults to WL_SUPER;
+    an explicit sup argument always wins."""
     if flat_grid is None:
         flat_grid = os.environ.get("JRT_WL_FLAT", "") == "1"
-    if os.environ.get("JRT_WL_SUP"):
-        sup = int(os.environ["JRT_WL_SUP"])
+    if sup is None:
+        sup = int(os.environ.get("JRT_WL_SUP") or WL_SUPER)
+        if sup > 8 and sup % 8:
+            raise ValueError(
+                f"JRT_WL_SUP={sup}: must be <= 8 or a multiple of 8 "
+                "(cluster-scan group granularity)"
+            )
     q = len(prim_verts_np)
     tfm, nrm, bbox, n_clusters = _load_tables(prim_verts_np, prim_instance, cache_key)
     sbbox = _wl_super_bbox(bbox, sup)
@@ -1054,30 +1097,9 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         flags=0 and do nothing (their index maps repeat the final
         block/supercluster, so the pipeline skips their DMAs too)."""
         nb = sub_blocks
-        capf = nb * S
-        cnt1 = jnp.maximum(cnt, 1)  # every block needs >= 1 step to emit
-        starts = jnp.cumsum(cnt1) - cnt1  # exclusive prefix
-        total = starts[-1] + cnt1[-1]
-        jf = jnp.arange(capf, dtype=jnp.int32)
-        marks = jnp.zeros(capf, jnp.int32).at[starts].add(1)
-        blk = jnp.cumsum(marks) - 1  # block id per flattened step
-        rank = jf - starts[blk]
-        valid = rank < cnt1[blk]
-        sc = order[blk, jnp.minimum(rank, S - 1)]
-        first = (rank == 0) & valid
-        last = (rank == cnt1[blk] - 1) & valid
-        flg = (
-            first.astype(jnp.int32)
-            | (last.astype(jnp.int32) << 1)
-            | (valid.astype(jnp.int32) << 2)
-        )
+        blk, sc, flg, caps, total = _flat_dispatch_plan(order, cnt, nb)
         shape_f = jax.ShapeDtypeStruct((nb * 9 * ROWS, LANES), jnp.float32)
         shape_i = jax.ShapeDtypeStruct((nb * 2 * ROWS, LANES), jnp.int32)
-
-        caps = [capf]
-        while caps[-1] > 4096 and len(caps) < 8:
-            caps.append(-(-caps[-1] // 2))
-        caps = sorted(set(caps))
 
         def branch(cap):
             def run(args):
@@ -1561,32 +1583,11 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
         lax.switch (tail steps carry flags=0 and repeat the previous
         index maps, so their DMAs are skipped)."""
         nb = sub_blocks
-        capf = nb * n_pad_items
-        cnt1 = jnp.maximum(cnt, 1)  # every block needs >= 1 step to emit
-        starts = jnp.cumsum(cnt1) - cnt1
-        total = starts[-1] + cnt1[-1]
-        jf = jnp.arange(capf, dtype=jnp.int32)
-        marks = jnp.zeros(capf, jnp.int32).at[starts].add(1)
-        blk = jnp.cumsum(marks) - 1
-        rank = jf - starts[blk]
-        valid = rank < cnt1[blk]
-        item = order[blk, jnp.minimum(rank, n_pad_items - 1)]
+        blk, item, flg, caps, total = _flat_dispatch_plan(order, cnt, nb)
         sc = wsup_d[item]
         xr = winst_d[item]
-        first = (rank == 0) & valid
-        last = (rank == cnt1[blk] - 1) & valid
-        flg = (
-            first.astype(jnp.int32)
-            | (last.astype(jnp.int32) << 1)
-            | (valid.astype(jnp.int32) << 2)
-        )
         shape_f = jax.ShapeDtypeStruct((nb * 9 * ROWS, LANES), jnp.float32)
         shape_i = jax.ShapeDtypeStruct((nb * 2 * ROWS, LANES), jnp.int32)
-
-        caps = [capf]
-        while caps[-1] > 4096 and len(caps) < 8:
-            caps.append(-(-caps[-1] // 2))
-        caps = sorted(set(caps))
 
         def branch(cap):
             def run(args):

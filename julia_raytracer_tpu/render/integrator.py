@@ -188,8 +188,20 @@ def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
         if len(wpv) <= BRUTEFORCE_THRESHOLD:
             flat_part = make_bruteforce_pallas(wpv, winst)
         else:
+            # key the derived cluster tables by the soup CONTENT (sampled
+            # fingerprint), not just the scene key: different hybrid
+            # budgets (or cache_key == "" signalling cache-off) must
+            # never share tables — _load_tables validates only q
+            import hashlib
+
+            if config.cache_key:
+                samp = wpv[:: max(1, len(wpv) // 1024)]
+                fp = hashlib.sha1(np.ascontiguousarray(samp)).hexdigest()[:10]
+                hyb_key = f"{config.cache_key}:hybf{len(wpv)}-{fp}"
+            else:
+                hyb_key = ""
             flat_part = make_cluster_intersect_worklist(
-                wpv, winst, cache_key=config.cache_key + ":hybf"
+                wpv, winst, cache_key=hyb_key
             )
         inst_part = (
             make_cluster_intersect_instanced(tables) if has_items else None
