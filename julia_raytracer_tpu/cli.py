@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="", help="write checkpoint .npz per batch")
     p.add_argument("--aov-prefix", default="", help="also save albedo/normal AOV PNGs")
     p.add_argument(
+        "--adaptive", action="store_true",
+        help="variance-adaptive sample allocation (beyond reference): "
+        "after a uniform warmup, each batch's lanes are drawn from the "
+        "per-pixel luminance-variance distribution",
+    )
+    p.add_argument(
+        "--adaptive-warmup", type=int, default=4,
+        help="uniform samples before adaptive allocation starts",
+    )
+    p.add_argument(
         "--trace-profile", default="",
         help="write a JAX/XLA profiler trace (TensorBoard format) of one "
         "steady-state sample batch to this directory",
@@ -68,7 +78,7 @@ def parse_cli_args(argv) -> Params:
         highqualitybvh=a.highqualitybvh, envhidden=a.envhidden,
         tentfilter=a.tentfilter, sampler=a.sampler, clamp=a.clamp,
         nocaustics=a.nocaustics, batch=a.batch, bvhstacksize=a.bvhstacksize,
-        seed=a.seed,
+        seed=a.seed, adaptive=a.adaptive, adaptive_warmup=a.adaptive_warmup,
     ), a
 
 

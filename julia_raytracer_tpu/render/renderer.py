@@ -61,6 +61,14 @@ class Params:
     # -1 = auto per scene (render/lights.py auto_light_pdf_steps,
     # justified by tests/test_light_pdf_fidelity.py)
     light_pdf_extra_steps: int = -1
+    # adaptive sampling (beyond reference): after `adaptive_warmup`
+    # uniform samples, each batch draws its pixel lanes from a
+    # luminance-variance distribution (static shapes: the LANE count
+    # never changes, only which pixels occupy lanes); per-pixel counts
+    # make the accumulation an exact per-pixel mean, so the estimator
+    # stays unbiased — allocation, not weighting
+    adaptive: bool = False
+    adaptive_warmup: int = 4
 
 
 @dataclass
@@ -75,6 +83,10 @@ class TraceState:
     normal: jnp.ndarray  # f32 [P, 3]
     hits: jnp.ndarray  # i32 [P]
     denoised: jnp.ndarray | None = None
+    # adaptive-mode extras (None when uniform): per-pixel sample counts
+    # and luminance M2 (Welford) driving the allocation distribution
+    counts: jnp.ndarray | None = None  # i32 [P]
+    m2: jnp.ndarray | None = None  # f32 [P]
 
     @property
     def n_pixels(self) -> int:
@@ -90,6 +102,11 @@ class TraceState:
             albedo=np.asarray(self.albedo),
             normal=np.asarray(self.normal),
             hits=np.asarray(self.hits),
+            **(
+                {"counts": np.asarray(self.counts), "m2": np.asarray(self.m2)}
+                if self.counts is not None
+                else {}
+            ),
         )
 
     @staticmethod
@@ -103,6 +120,8 @@ class TraceState:
             albedo=jnp.asarray(z["albedo"]),
             normal=jnp.asarray(z["normal"]),
             hits=jnp.asarray(z["hits"]),
+            counts=jnp.asarray(z["counts"]) if "counts" in z else None,
+            m2=jnp.asarray(z["m2"]) if "m2" in z else None,
         )
 
 
@@ -126,6 +145,8 @@ def make_trace_state(scene_data, params: Params) -> TraceState:
         albedo=jnp.zeros((p, 3), jnp.float32),
         normal=jnp.zeros((p, 3), jnp.float32),
         hits=jnp.zeros(p, jnp.int32),
+        counts=jnp.zeros(p, jnp.int32) if params.adaptive else None,
+        m2=jnp.zeros(p, jnp.float32) if params.adaptive else None,
     )
 
 
@@ -261,6 +282,136 @@ class Renderer:
         self._kernel_cache[key] = fn
         return fn
 
+    def _adaptive_kernel(self, width: int, height: int, chunk: int,
+                         uniform: bool):
+        """Compiled fn for ADAPTIVE sampling (beyond reference).
+
+        uniform=True: warmup — lanes cover pixel0..pixel0+chunk like the
+        standard kernel, but per-pixel counts and luminance M2 (Welford)
+        are accumulated too. uniform=False: the chunk's pixel ids are
+        DRAWN from the sqrt-variance distribution (inverse-CDF on
+        counter-based uniforms) — the lane count is static, only which
+        pixels occupy lanes changes. Each drawn lane continues its
+        pixel's sample sequence (sample id = count + occurrence rank),
+        and the scatter-merge keeps every pixel's value an exact mean of
+        its own i.i.d. samples — allocation, not weighting, so the
+        estimator stays unbiased."""
+        key = ("adapt", width, height, chunk, uniform)
+        if key in self._kernel_cache:
+            return self._kernel_cache[key]
+
+        config, options, params = self.config, self.options, self.params
+        n_pixels = width * height
+        has_envs = config.n_envs > 0
+        orthographic = self.cam_arrays.orthographic
+        LUM = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+        def kernel(dscene, cam, image, albedo, normal, hits, counts, m2,
+                   pixel0, batch_id):
+            cam = cam._replace(orthographic=orthographic)
+            lane = jnp.arange(chunk, dtype=jnp.int32)
+            if uniform:
+                pixel = pixel0 + lane
+                valid = pixel < n_pixels
+                ids = jnp.clip(pixel, 0, n_pixels - 1)
+                rank = jnp.zeros(chunk, jnp.int32)
+            else:
+                var = m2 / jnp.maximum(counts.astype(jnp.float32) - 1.0, 1.0)
+                wts = jnp.sqrt(jnp.maximum(var, 0.0))
+                # probability floor: every pixel keeps being sampled, so
+                # per-pixel means stay consistent estimators everywhere
+                wts = wts + 0.05 * jnp.mean(wts) + 1e-12
+                cdf = jnp.cumsum(wts)
+                cdf = cdf / cdf[-1]
+                rdraw = rng_mod.seed_state(
+                    lane, batch_id, params.seed + 0x5EED
+                )
+                u, _ = rng_mod.rand2f(rdraw)
+                u = u[:, 0] if u.ndim == 2 else u
+                ids = jnp.clip(
+                    jnp.searchsorted(cdf, u).astype(jnp.int32),
+                    0, n_pixels - 1,
+                )
+                valid = jnp.ones(chunk, bool)
+                # occurrence rank inside this batch: duplicates of a
+                # pixel must get DISTINCT sample ids or their paths (and
+                # variance reduction) would be identical
+                order = jnp.argsort(ids)
+                sid = ids[order]
+                pos = jnp.arange(chunk, dtype=jnp.int32)
+                is_start = jnp.concatenate(
+                    [jnp.ones(1, bool), sid[1:] != sid[:-1]]
+                )
+                start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
+                rank = jnp.zeros(chunk, jnp.int32).at[order].set(
+                    pos - start_pos
+                )
+            sample_ids = counts[ids] + rank
+
+            rng = rng_mod.seed_state(ids, sample_ids, params.seed)
+            puv, rng = rng_mod.rand2f(rng)
+            luv, rng = rng_mod.rand2f(rng)
+            ij = jnp.stack([ids % width, ids // width], axis=-1)
+            ro, rd = sample_camera(
+                cam, ij, (width, height), puv, luv, params.tentfilter
+            )
+            radiance, hit, albedo_s, normal_s, rng = trace_wavefront(
+                dscene, config, options, ro, rd, rng, intersect=self.intersect
+            )
+            finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+            radiance = jnp.where(finite[..., None], radiance, 0.0)
+            peak = jnp.max(radiance, axis=-1)
+            scale = jnp.where(
+                peak > params.clamp,
+                params.clamp / jnp.maximum(peak, 1e-30), 1.0,
+            )
+            radiance = radiance * scale[..., None]
+
+            env_case = (~hit) & (not options.envhidden) & has_envs
+            vf = valid.astype(jnp.float32)
+            img_new = jnp.where(
+                (hit | env_case)[..., None],
+                jnp.concatenate(
+                    [radiance, jnp.ones((chunk, 1), jnp.float32)], axis=-1
+                ),
+                0.0,
+            ) * vf[..., None]
+            alb_new = jnp.where(
+                hit[..., None], albedo_s,
+                jnp.where(env_case[..., None], 1.0, 0.0),
+            ) * vf[..., None]
+            nrm_new = jnp.where(hit[..., None], normal_s, -rd) * vf[..., None]
+            lum = (img_new[:, :3] @ LUM) * vf
+
+            # per-pixel batch aggregates via scatter-add, then a
+            # vectorized Welford/Chan merge — exact per-pixel means
+            # regardless of how many lanes a pixel received
+            k = jnp.zeros(n_pixels, jnp.float32).at[ids].add(vf)
+            s_img = jnp.zeros((n_pixels, 4), jnp.float32).at[ids].add(img_new)
+            s_alb = jnp.zeros((n_pixels, 3), jnp.float32).at[ids].add(alb_new)
+            s_nrm = jnp.zeros((n_pixels, 3), jnp.float32).at[ids].add(nrm_new)
+            s_l = jnp.zeros(n_pixels, jnp.float32).at[ids].add(lum)
+            s_l2 = jnp.zeros(n_pixels, jnp.float32).at[ids].add(lum * lum)
+
+            n_old = counts.astype(jnp.float32)
+            n_new = jnp.maximum(n_old + k, 1.0)
+            mean_old = image[:, :3] @ LUM
+            image = image + (s_img - k[:, None] * image) / n_new[:, None]
+            albedo = albedo + (s_alb - k[:, None] * albedo) / n_new[:, None]
+            normal = normal + (s_nrm - k[:, None] * normal) / n_new[:, None]
+            mb = s_l / jnp.maximum(k, 1.0)
+            m2b = jnp.maximum(s_l2 - k * mb * mb, 0.0)
+            delta = mb - mean_old
+            m2 = m2 + m2b + delta * delta * n_old * k / n_new
+            counts = counts + k.astype(jnp.int32)
+            hit_inc = (valid & (hit | env_case)).astype(jnp.int32)
+            hits = hits.at[ids].add(hit_inc)
+            return image, albedo, normal, hits, counts, m2
+
+        fn = jax.jit(kernel, donate_argnums=(2, 3, 4, 5, 6, 7))
+        self._kernel_cache[key] = fn
+        return fn
+
     # -- driver -----------------------------------------------------------
 
     def trace_samples(self, state: TraceState) -> TraceState:
@@ -271,6 +422,8 @@ class Renderer:
         target = min(state.samples + params.batch, params.samples)
         n = state.n_pixels
         chunk = min(MAX_CHUNK, n)
+        if params.adaptive:
+            return self._trace_samples_adaptive(state, target, chunk)
         if self.config.inst_tables is not None:
             # instanced scenes: dispatches above ~64 ray blocks inside the
             # integrator program fault the axon v5e worker (ecosys 384px+;
@@ -298,6 +451,37 @@ class Renderer:
                     jnp.int32(pixel0), jnp.int32(sample),
                 )
         state.image, state.albedo, state.normal, state.hits = image, albedo, normal, hits
+        state.samples = target
+        return state
+
+    def _trace_samples_adaptive(self, state: TraceState, target: int,
+                                chunk: int) -> TraceState:
+        """Adaptive-mode batch loop (see _adaptive_kernel): warmup
+        batches place samples uniformly while building the variance
+        tracker, then each batch's lanes are drawn from it. Buffers stay
+        unpadded — accumulation is scatter-based, not slice-based."""
+        params = self.params
+        n = state.n_pixels
+        if self.config.inst_tables is not None:
+            chunk = min(chunk, 1 << 15)  # instanced-dispatch fault cliff
+        nchunks = -(-n // chunk)
+        assert state.counts is not None and state.m2 is not None, (
+            "adaptive render needs a state made with Params(adaptive=True) "
+            "(or a checkpoint saved from one)"
+        )
+        bufs = (state.image, state.albedo, state.normal, state.hits,
+                state.counts, state.m2)
+        for sample in range(state.samples, target):
+            uniform = sample < params.adaptive_warmup
+            kern = self._adaptive_kernel(state.width, state.height, chunk,
+                                         uniform)
+            for ci, pixel0 in enumerate(range(0, nchunks * chunk, chunk)):
+                bufs = kern(
+                    self.dscene, self.cam_arrays, *bufs,
+                    jnp.int32(pixel0), jnp.int32(sample * nchunks + ci),
+                )
+        (state.image, state.albedo, state.normal, state.hits,
+         state.counts, state.m2) = bufs
         state.samples = target
         return state
 

@@ -22,6 +22,14 @@ for s in "$KITCHEN kitchen" "$BATH bathroom1"; do
   grep "intersect fast" /tmp/tpu_ab_$2_rect.log /tmp/tpu_ab_$2_flat.log
 done
 
+# 1b. supercluster-size sweep on kitchen (tighter boxes vs more steps)
+for SUP in 32 64; do
+  PROF_ONLY=isec JRT_WL_FLAT=1 JRT_WL_SUP=$SUP timeout 1800 \
+      python -u tools/profile_tpu.py "$KITCHEN" 512 \
+      > /tmp/tpu_ab_kitchen_sup$SUP.log 2>&1; echo "kitchen sup$SUP exit=$?"
+done
+grep "intersect fast" /tmp/tpu_ab_kitchen_sup*.log
+
 # 2. ecosys hybrid profile, instanced-branch rounds vs flat dispatch
 JRT_WL_FLAT=0 JRT_INST_FLAT=0 timeout 2400 python -u tools/profile_ecosys.py --res 480 \
     > /tmp/tpu_ecosys_rect.log 2>&1; echo "ecosys rect exit=$?"
