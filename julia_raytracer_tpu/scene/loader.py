@@ -220,6 +220,7 @@ def load_scene(filename: str, parallel: bool = True) -> SceneData:
                 displacement=float(s.get("displacement", 0)),
                 displacement_tex=int(s.get("displacement_tex", INVALID_ID)),
                 shape=int(s.get("shape", INVALID_ID)),
+                uri=os.path.join(scene_dir, s["uri"]) if "uri" in s else "",
             )
         )
 
@@ -234,7 +235,53 @@ def load_scene(filename: str, parallel: bool = True) -> SceneData:
     else:
         scene.textures = [load_texture(u) for u in tex_uris]
         scene.shapes = [load_shape(u) for u in shp_uris]
+    _apply_subdivs(scene)
     return scene
+
+
+def _apply_subdivs(scene: SceneData) -> None:
+    """Tessellate subdiv control cages (scene/subdiv.py) and replace the
+    referenced shapes. Opt-in via JRT_TESSELLATE=1 — the corpus ships
+    pre-tessellated PLYs so the default path renders those, exactly like
+    the reference — but a shape whose PLY blob is stripped (empty) gets
+    tessellated automatically when its cage OBJ survives."""
+    force = os.environ.get("JRT_TESSELLATE", "") == "1"
+    for sd in scene.subdivs:
+        if not (0 <= sd.shape < len(scene.shapes)) or not sd.uri:
+            continue
+        shape = scene.shapes[sd.shape]
+        empty = len(shape.positions) == 0
+        if not (force or empty):
+            continue
+        if not os.path.exists(sd.uri):
+            continue
+        if not sd.catmullclark:
+            continue
+        from julia_raytracer_tpu.scene.subdiv import tessellate_subdiv
+
+        try:
+            pos, quads, normals = tessellate_subdiv(
+                sd.uri, sd.subdivisions, sd.smooth
+            )
+        except Exception as e:
+            import sys
+
+            print(f"warning: subdiv tessellation failed for {sd.uri}: {e}",
+                  file=sys.stderr)
+            continue
+        shape.positions = pos
+        shape.quads = quads
+        shape.triangles = np.zeros((0, 3), np.int32)
+        shape.normals = (
+            normals if normals is not None else np.zeros((0, 3), np.float32)
+        )
+        shape.texcoords = np.zeros((0, 2), np.float32)
+        shape.colors = np.zeros((0, 4), np.float32)
+        if sd.displacement != 0.0:
+            import sys
+
+            print("warning: subdiv displacement not applied "
+                  "(displacement texture path)", file=sys.stderr)
 
 
 def find_camera(scene: SceneData, name: str, camera_names: list[str] | None = None) -> int:

@@ -132,8 +132,10 @@ class ShapeData:
 
 @dataclass
 class SubdivData:
-    """Catmull-Clark subdiv description — parsed but not tessellated, matching
-    the reference which never loads subdivs (src/sceneio.jl:561 todo)."""
+    """Catmull-Clark subdiv description. The reference never loads these
+    (src/sceneio.jl:73 todo) and renders the pre-tessellated PLYs Yocto
+    exported alongside; scene/subdiv.py can tessellate the cage for real
+    (JRT_TESSELLATE=1, or automatically when the PLY blob is stripped)."""
 
     subdivisions: int = 0
     catmullclark: bool = True
@@ -141,6 +143,7 @@ class SubdivData:
     displacement: float = 0.0
     displacement_tex: int = INVALID_ID
     shape: int = INVALID_ID
+    uri: str = ""  # control-cage OBJ path (for tessellation)
 
 
 @dataclass
