@@ -29,22 +29,23 @@ def _enable_compile_cache() -> None:
 
 
 def main() -> None:
-    # fail fast if the TPU tunnel is down: backend init would otherwise
-    # hang forever and the driver would record a timeout with no message
-    import signal
+    # fail fast if the TPU tunnel is down. A SIGALRM handler can NOT
+    # interrupt the blocking backend-init C call (verified: the handler
+    # only runs between bytecodes), so probe in a subprocess that an OS
+    # timeout can kill.
+    import subprocess
+    import sys
 
-    def _dead(signum, frame):
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, check=True, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
         raise SystemExit(
             "bench: jax backend init exceeded 300 s (TPU tunnel down?)"
         )
-
-    signal.signal(signal.SIGALRM, _dead)
-    signal.alarm(300)
     _enable_compile_cache()
-    import jax
-
-    jax.devices()
-    signal.alarm(0)
     from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
     from julia_raytracer_tpu.scene.loader import load_scene
 

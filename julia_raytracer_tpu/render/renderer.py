@@ -162,6 +162,35 @@ def camera_arrays(camera) -> CameraArrays:
     )
 
 
+def _scrub_compose(radiance, hit, albedo_s, normal_s, rd, chunk,
+                   clamp, envhidden, has_envs):
+    """Shared per-sample post-processing for BOTH accumulation kernels:
+    NaN scrub + radiance rescale clamp (src/trace.jl:625-630) and the
+    image/albedo/normal contribution composition incl. the miss-vs-env
+    bookkeeping. One definition so uniform and adaptive modes can never
+    drift apart."""
+    finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+    radiance = jnp.where(finite[..., None], radiance, 0.0)
+    peak = jnp.max(radiance, axis=-1)
+    scale = jnp.where(
+        peak > clamp, clamp / jnp.maximum(peak, 1e-30), 1.0
+    )
+    radiance = radiance * scale[..., None]
+    env_case = (~hit) & (not envhidden) & has_envs
+    img_new = jnp.where(
+        (hit | env_case)[..., None],
+        jnp.concatenate(
+            [radiance, jnp.ones((chunk, 1), jnp.float32)], axis=-1
+        ),
+        0.0,
+    )
+    alb_new = jnp.where(
+        hit[..., None], albedo_s, jnp.where(env_case[..., None], 1.0, 0.0)
+    )
+    nrm_new = jnp.where(hit[..., None], normal_s, -rd)
+    return img_new, alb_new, nrm_new, env_case
+
+
 class Renderer:
     """Owns the device scene + the compiled per-sample kernel."""
 
@@ -240,26 +269,13 @@ class Renderer:
                 dscene, config, options, ro, rd, rng, intersect=self.intersect
             )
 
-            # NaN scrub + radiance rescale clamp (src/trace.jl:625-630)
-            finite = jnp.all(jnp.isfinite(radiance), axis=-1)
-            radiance = jnp.where(finite[..., None], radiance, 0.0)
-            peak = jnp.max(radiance, axis=-1)
-            scale = jnp.where(peak > params.clamp, params.clamp / jnp.maximum(peak, 1e-30), 1.0)
-            radiance = radiance * scale[..., None]
-
+            img_new, alb_new, nrm_new, env_case = _scrub_compose(
+                radiance, hit, albedo_s, normal_s, rd, chunk,
+                params.clamp, options.envhidden, has_envs,
+            )
             # running-mean accumulation (src/trace.jl:631-648)
             w = jnp.float32(1.0) / (sample_id.astype(jnp.float32) + 1.0)
             w = jnp.where(valid, w, 0.0)
-            env_case = (~hit) & (not options.envhidden) & has_envs
-            img_new = jnp.where(
-                (hit | env_case)[..., None],
-                jnp.concatenate([radiance, jnp.ones((chunk, 1), jnp.float32)], axis=-1),
-                0.0,
-            )
-            alb_new = jnp.where(
-                hit[..., None], albedo_s, jnp.where(env_case[..., None], 1.0, 0.0)
-            )
-            nrm_new = jnp.where(hit[..., None], normal_s, -rd)
             hit_inc = jnp.where(valid & (hit | env_case), 1, 0)
 
             old_img = jax.lax.dynamic_slice(image, (pixel0, 0), (chunk, 4))
@@ -307,7 +323,7 @@ class Renderer:
         LUM = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
 
         def kernel(dscene, cam, image, albedo, normal, hits, counts, m2,
-                   pixel0, batch_id):
+                   pixel0, batch_id, n_live):
             cam = cam._replace(orthographic=orthographic)
             lane = jnp.arange(chunk, dtype=jnp.int32)
             if uniform:
@@ -332,7 +348,9 @@ class Renderer:
                     jnp.searchsorted(cdf, u).astype(jnp.int32),
                     0, n_pixels - 1,
                 )
-                valid = jnp.ones(chunk, bool)
+                # tail chunk draws fewer lanes so each adaptive round
+                # adds EXACTLY n_pixels samples (budget conservation)
+                valid = lane < n_live
                 # occurrence rank inside this batch: duplicates of a
                 # pixel must get DISTINCT sample ids or their paths (and
                 # variance reduction) would be identical
@@ -358,29 +376,14 @@ class Renderer:
             radiance, hit, albedo_s, normal_s, rng = trace_wavefront(
                 dscene, config, options, ro, rd, rng, intersect=self.intersect
             )
-            finite = jnp.all(jnp.isfinite(radiance), axis=-1)
-            radiance = jnp.where(finite[..., None], radiance, 0.0)
-            peak = jnp.max(radiance, axis=-1)
-            scale = jnp.where(
-                peak > params.clamp,
-                params.clamp / jnp.maximum(peak, 1e-30), 1.0,
+            img_new, alb_new, nrm_new, env_case = _scrub_compose(
+                radiance, hit, albedo_s, normal_s, rd, chunk,
+                params.clamp, options.envhidden, has_envs,
             )
-            radiance = radiance * scale[..., None]
-
-            env_case = (~hit) & (not options.envhidden) & has_envs
             vf = valid.astype(jnp.float32)
-            img_new = jnp.where(
-                (hit | env_case)[..., None],
-                jnp.concatenate(
-                    [radiance, jnp.ones((chunk, 1), jnp.float32)], axis=-1
-                ),
-                0.0,
-            ) * vf[..., None]
-            alb_new = jnp.where(
-                hit[..., None], albedo_s,
-                jnp.where(env_case[..., None], 1.0, 0.0),
-            ) * vf[..., None]
-            nrm_new = jnp.where(hit[..., None], normal_s, -rd) * vf[..., None]
+            img_new = img_new * vf[..., None]
+            alb_new = alb_new * vf[..., None]
+            nrm_new = nrm_new * vf[..., None]
             lum = (img_new[:, :3] @ LUM) * vf
 
             # per-pixel batch aggregates via scatter-add, then a
@@ -424,6 +427,13 @@ class Renderer:
         chunk = min(MAX_CHUNK, n)
         if params.adaptive:
             return self._trace_samples_adaptive(state, target, chunk)
+        if state.counts is not None:
+            raise ValueError(
+                "this checkpoint was written by an --adaptive render "
+                "(per-pixel counts are heterogeneous); resume with "
+                "--adaptive or the uniform running-mean weights would "
+                "corrupt converged pixels"
+            )
         if self.config.inst_tables is not None:
             # instanced scenes: dispatches above ~64 ray blocks inside the
             # integrator program fault the axon v5e worker (ecosys 384px+;
@@ -465,10 +475,11 @@ class Renderer:
         if self.config.inst_tables is not None:
             chunk = min(chunk, 1 << 15)  # instanced-dispatch fault cliff
         nchunks = -(-n // chunk)
-        assert state.counts is not None and state.m2 is not None, (
-            "adaptive render needs a state made with Params(adaptive=True) "
-            "(or a checkpoint saved from one)"
-        )
+        if state.counts is None or state.m2 is None:
+            raise ValueError(
+                "adaptive render needs a state made with "
+                "Params(adaptive=True) (or a checkpoint saved from one)"
+            )
         bufs = (state.image, state.albedo, state.normal, state.hits,
                 state.counts, state.m2)
         for sample in range(state.samples, target):
@@ -479,6 +490,7 @@ class Renderer:
                 bufs = kern(
                     self.dscene, self.cam_arrays, *bufs,
                     jnp.int32(pixel0), jnp.int32(sample * nchunks + ci),
+                    jnp.int32(min(chunk, n - pixel0)),
                 )
         (state.image, state.albedo, state.normal, state.hits,
          state.counts, state.m2) = bufs

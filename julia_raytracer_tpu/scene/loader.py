@@ -269,6 +269,15 @@ def _apply_subdivs(scene: SceneData) -> None:
             print(f"warning: subdiv tessellation failed for {sd.uri}: {e}",
                   file=sys.stderr)
             continue
+        if len(shape.texcoords):
+            import sys
+
+            print(
+                f"warning: tessellating {sd.uri} drops the shape's "
+                "texcoords (face-varying subdivision not implemented); "
+                "textured materials on this shape will lose UVs",
+                file=sys.stderr,
+            )
         shape.positions = pos
         shape.quads = quads
         shape.triangles = np.zeros((0, 3), np.int32)

@@ -26,10 +26,13 @@ def load_obj_cage(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                 parts = line.split()
                 pos.append([float(parts[1]), float(parts[2]), float(parts[3])])
             elif line.startswith("f "):
-                idx = [
-                    int(tok.split("/")[0]) - 1  # OBJ is 1-based
-                    for tok in line.split()[1:]
-                ]
+                # OBJ is 1-based; negative indices are relative to the
+                # positions read SO FAR (resolved here, not left to wrap
+                # through numpy fancy-indexing as garbage)
+                raw = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(pos) + i for i in raw]
+                if any(i < 0 for i in idx):
+                    raise ValueError(f"{path}: face index out of range")
                 if len(idx) < 3 or len(idx) > 4:
                     raise ValueError(
                         f"{path}: only tri/quad faces supported, got "

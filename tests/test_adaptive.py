@@ -88,3 +88,20 @@ def test_adaptive_checkpoint_roundtrip(tmp_path):
     r.params.samples = 8
     s2 = r.trace_samples(s2)
     assert int(np.asarray(s2.counts).sum()) == 8 * s2.n_pixels
+
+
+def test_adaptive_budget_with_multiple_chunks(monkeypatch):
+    """Tail chunks draw fewer lanes (n_live masking): with a chunk size
+    that does not divide n_pixels, each round must still add EXACTLY
+    n_pixels samples, and resuming a uniform path from an adaptive
+    checkpoint must refuse."""
+    import julia_raytracer_tpu.render.renderer as rmod
+
+    monkeypatch.setattr(rmod, "MAX_CHUNK", 700)  # 1024 px -> 2 chunks
+    r, s = _render(adaptive=True, samples=4, warmup=2)
+    assert int(np.asarray(s.counts).sum()) == 4 * s.n_pixels
+    # uniform resume of an adaptive state must refuse loudly
+    r.params.adaptive = False
+    r.params.samples = 6
+    with pytest.raises(ValueError, match="adaptive"):
+        r.trace_samples(s)
