@@ -259,9 +259,16 @@ def _apply_subdivs(scene: SceneData) -> None:
             continue
         from julia_raytracer_tpu.scene.subdiv import tessellate_subdiv
 
+        disp_tex = None
+        if (
+            sd.displacement != 0.0
+            and 0 <= sd.displacement_tex < len(scene.textures)
+        ):
+            disp_tex = scene.textures[sd.displacement_tex]
         try:
-            pos, quads, normals = tessellate_subdiv(
-                sd.uri, sd.subdivisions, sd.smooth
+            pos, quads, normals, texcoords = tessellate_subdiv(
+                sd.uri, sd.subdivisions, sd.smooth,
+                displacement=sd.displacement, disp_tex=disp_tex,
             )
         except Exception as e:
             import sys
@@ -269,13 +276,12 @@ def _apply_subdivs(scene: SceneData) -> None:
             print(f"warning: subdiv tessellation failed for {sd.uri}: {e}",
                   file=sys.stderr)
             continue
-        if len(shape.texcoords):
+        if len(shape.texcoords) and texcoords is None:
             import sys
 
             print(
-                f"warning: tessellating {sd.uri} drops the shape's "
-                "texcoords (face-varying subdivision not implemented); "
-                "textured materials on this shape will lose UVs",
+                f"warning: subdiv cage {sd.uri} has no texcoords; the "
+                "tessellated shape loses its UVs",
                 file=sys.stderr,
             )
         shape.positions = pos
@@ -284,13 +290,12 @@ def _apply_subdivs(scene: SceneData) -> None:
         shape.normals = (
             normals if normals is not None else np.zeros((0, 3), np.float32)
         )
-        shape.texcoords = np.zeros((0, 2), np.float32)
+        shape.texcoords = (
+            texcoords  # already in the internal (flipped-v) convention
+            if texcoords is not None
+            else np.zeros((0, 2), np.float32)
+        )
         shape.colors = np.zeros((0, 4), np.float32)
-        if sd.displacement != 0.0:
-            import sys
-
-            print("warning: subdiv displacement not applied "
-                  "(displacement texture path)", file=sys.stderr)
 
 
 def find_camera(scene: SceneData, name: str, camera_names: list[str] | None = None) -> int:

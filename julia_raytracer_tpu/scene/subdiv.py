@@ -46,12 +46,17 @@ def _edge_table(faces: np.ndarray, nsides: np.ndarray):
 
 def catmull_clark(
     positions: np.ndarray, faces: np.ndarray, nsides: np.ndarray,
-    levels: int,
+    levels: int, lock_boundary: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """levels rounds of Catmull-Clark. positions [V,3] f32; faces [F,4]
-    (slot 3 repeats slot 2 for tris); nsides [F] in {3,4}. Returns
-    (positions [V',3] f32, quads [F',4] i32) — all-quads after the
-    first round."""
+    """levels rounds of Catmull-Clark. positions [V,D] f32 (D=3 for
+    geometry, D=2 for a face-varying texcoord mesh); faces [F,4] (slot 3
+    repeats slot 2 for tris); nsides [F] in {3,4}. Returns
+    (positions [V',D] f32, quads [F',4] i32) — all-quads after the
+    first round. The new-face emission order depends only on (faces,
+    nsides) topology counts, so two attribute meshes over the same face
+    list subdivide into ALIGNED quad lists. lock_boundary pins boundary
+    verts to their linear-subdivision positions (used for texcoord
+    meshes, whose UV-island borders must stay put — matching Yocto)."""
     pos = np.asarray(positions, np.float64)
     faces = np.asarray(faces, np.int64)
     nsides = np.asarray(nsides, np.int64)
@@ -61,7 +66,8 @@ def catmull_clark(
         E = len(edge_v)
 
         # ---- 1. LINEAR midpoint subdivision ----
-        fsum = np.zeros((F, 3))
+        D = pos.shape[1]
+        fsum = np.zeros((F, D))
         for j in range(4):
             fsum += np.where(valid[:, j, None], pos[faces[:, j]], 0.0)
         face_pt = fsum / nsides[:, None]
@@ -98,12 +104,15 @@ def catmull_clark(
         is_bnd[edge_v[bnd].reshape(-1)] = True
         is_bnd[V + F + bnd] = True
 
-        avert = np.zeros((NV, 3))
+        avert = np.zeros((NV, D))
         acnt = np.zeros(NV)
         # boundary pass: each old boundary edge became two sub-edges
         # (v0, m) and (m, v1); their midpoints average into both
-        # (boundary) endpoints
-        for ends in (edge_v[bnd, 0], edge_v[bnd, 1]):
+        # (boundary) endpoints. Locked boundaries skip this, leaving
+        # acnt == 0 there, and the correction below keeps `lin`
+        for ends in (
+            () if lock_boundary else (edge_v[bnd, 0], edge_v[bnd, 1])
+        ):
             m_id = V + F + bnd
             c = 0.5 * (lin[ends] + lin[m_id])
             np.add.at(avert, ends, c)
@@ -138,13 +147,68 @@ def vertex_normals(positions: np.ndarray, quads: np.ndarray) -> np.ndarray:
     return (out / np.where(l > 0, l, 1.0)).astype(np.float32)
 
 
-def tessellate_subdiv(obj_path: str, subdivisions: int, smooth: bool):
-    """OBJ control cage -> (positions, quads, normals|None)."""
+def tessellate_subdiv(obj_path: str, subdivisions: int, smooth: bool,
+                      displacement: float = 0.0, disp_tex=None):
+    """OBJ control cage -> (positions, quads, normals|None,
+    texcoords|None).
+
+    Face-varying texcoords (UV seams) subdivide as their OWN
+    Catmull-Clark mesh over the same face list — the two aligned quad
+    lists then merge into per-vertex attributes by splitting vertices at
+    (position-id, texcoord-id) seams, exactly how Yocto's exported PLYs
+    are laid out (cubesubdiv: 1538 geometric verts -> 1734 split verts).
+    displacement + disp_tex (TextureData) displace along smooth normals
+    by the texture's mean channel, Yocto displacement semantics."""
     from julia_raytracer_tpu.scene.objio import load_obj_cage
 
-    pos, faces, nsides = load_obj_cage(obj_path)
+    pos, faces, nsides, uvs, vt_faces = load_obj_cage(obj_path)
     pos, quads = catmull_clark(pos, faces, nsides, subdivisions)
     # subdivisions == 0 keeps tri faces as [a,b,c,c] rows — the PLY quad
-    # convention (repeated last index = triangle), directly renderable
-    normals = vertex_normals(pos, quads) if smooth and len(quads) else None
-    return pos, quads, normals
+    # convention (repeated last index = triangle), directly renderable.
+    # Normals come from the GEOMETRIC mesh (before any fvar split) so UV
+    # seams stay smooth — seam-duplicated verts share one normal
+    normals_g = vertex_normals(pos, quads) if len(quads) else None
+    texcoords = None
+    normals = normals_g if smooth else None
+    if uvs is not None:
+        uv2, uvq = catmull_clark(
+            uvs, vt_faces, nsides, subdivisions, lock_boundary=True
+        )
+        # merge fvar: split verts at (pos_id, vt_id) seams
+        pairs = np.stack([quads.reshape(-1), uvq.reshape(-1)], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        quads = inv.astype(np.int32).reshape(-1, 4)
+        pos = pos[uniq[:, 0]]
+        texcoords = uv2[uniq[:, 1]].astype(np.float32)
+        # OBJ vt -> the pipeline's internal (PLY-load) convention:
+        # flipped v (src/shape.jl:233-234)
+        texcoords[:, 1] = 1.0 - texcoords[:, 1]
+        if normals_g is not None:
+            normals_g = normals_g[uniq[:, 0]]
+            normals = normals_g if smooth else None
+    if displacement != 0.0 and disp_tex is not None and texcoords is not None:
+        h = _sample_tex_mean(disp_tex, texcoords)
+        pos = pos + normals_g * (displacement * h)[:, None]
+        normals = vertex_normals(pos, quads) if smooth else None
+    return pos, quads, normals, texcoords
+
+
+def _sample_tex_mean(tex, uv: np.ndarray) -> np.ndarray:
+    """Bilinear mean-RGB height lookup at INTERNAL-convention uv
+    (mod-1 wrap, matching ops/texture.py; raw stored values — Yocto
+    displacement semantics)."""
+    w, h = tex.width, tex.height
+    px = tex.pixels.reshape(h, w, 4)[..., :3].mean(axis=-1)
+    u = np.mod(uv[:, 0], 1.0) * w - 0.5
+    v = np.mod(uv[:, 1], 1.0) * h - 0.5
+    x0 = np.floor(u).astype(np.int64)
+    y0 = np.floor(v).astype(np.int64)
+    fu, fv = u - x0, v - y0
+    x0m, x1m = x0 % w, (x0 + 1) % w
+    y0m, y1m = y0 % h, (y0 + 1) % h
+    return (
+        px[y0m, x0m] * (1 - fu) * (1 - fv)
+        + px[y0m, x1m] * fu * (1 - fv)
+        + px[y1m, x0m] * (1 - fu) * fv
+        + px[y1m, x1m] * fu * fv
+    ).astype(np.float32)

@@ -28,7 +28,7 @@ def _chamfer(a, b, k=800, seed=0):
 
 
 def test_cube_level1_topology():
-    pos, faces, ns = load_obj_cage(f"{SUBDIVS}/cubesubdiv.obj")
+    pos, faces, ns, uvs, vtf = load_obj_cage(f"{SUBDIVS}/cubesubdiv.obj")
     assert faces.shape == (6, 4) and (ns == 4).all()
     p1, q1 = catmull_clark(pos, faces, ns, 1)
     # closed cube: 8 updated + 6 face + 12 edge verts, 24 quads
@@ -49,7 +49,7 @@ def test_cube_matches_yocto_pretessellation():
     interior rules are the whole story)."""
     from julia_raytracer_tpu.scene.loader import load_shape
 
-    pos, quads, _ = tessellate_subdiv(f"{SUBDIVS}/cubesubdiv.obj", 4, True)
+    pos, quads, _, _ = tessellate_subdiv(f"{SUBDIVS}/cubesubdiv.obj", 4, True)
     ref = np.asarray(load_shape(f"{SHAPES}/cubesubdiv.ply").positions)
     assert len(quads) == 6 * 4**4
     assert _chamfer(pos, ref) < 1e-5
@@ -62,7 +62,7 @@ def test_suzanne_close_to_yocto_pretessellation():
     holes."""
     from julia_raytracer_tpu.scene.loader import load_shape
 
-    pos, quads, nrm = tessellate_subdiv(
+    pos, quads, nrm, _ = tessellate_subdiv(
         f"{SUBDIVS}/suzannesubdiv.obj", 2, True
     )
     ref = np.asarray(load_shape(f"{SHAPES}/suzannesubdiv.ply").positions)
@@ -85,3 +85,48 @@ def test_loader_tessellates_on_optin(monkeypatch):
     scene2 = load_scene("/root/reference/scenes/shapes2/shapes2.json")
     # default path: pre-tessellated PLY untouched (reference behavior)
     assert len(scene2.shapes[3].positions) == 1734
+
+
+def test_cube_fvar_texcoords_match_yocto_export():
+    """Face-varying texcoords subdivide as their own mesh and merge by
+    (pos, vt) seam splitting — reproducing Yocto's exported vertex
+    split EXACTLY: 1538 geometric verts -> 1734 split verts, and every
+    (position, uv) pair in the export appears in ours."""
+    from julia_raytracer_tpu.scene.loader import load_shape
+
+    pos, quads, nrm, tc = tessellate_subdiv(f"{SUBDIVS}/cubesubdiv.obj", 4, True)
+    assert tc is not None
+    assert len(pos) == 1734  # seam-split count matches the export
+    ref = load_shape(f"{SHAPES}/cubesubdiv.ply")
+    rp = np.asarray(ref.positions)
+    rtc = np.asarray(ref.texcoords)
+    # association check, robust to 1e-7 position noise: every geometric
+    # position must carry exactly the same SET of uvs as the export
+    from collections import defaultdict
+
+    def k3(v):
+        return tuple(np.round(v, 5))
+
+    ours = defaultdict(set)
+    refs = defaultdict(set)
+    for i in range(len(pos)):
+        ours[k3(pos[i])].add(k3(tc[i]))
+    for i in range(len(rp)):
+        refs[k3(rp[i])].add(k3(rtc[i]))
+    assert ours == refs
+
+
+def test_displacement_moves_surface():
+    from julia_raytracer_tpu.scene.types import TextureData
+
+    flat = TextureData(
+        width=2, height=2, linear=True,
+        pixels=np.full((4, 4), 1.0, np.float32),
+    )
+    p0, q0, n0, t0 = tessellate_subdiv(f"{SUBDIVS}/cubesubdiv.obj", 2, True)
+    p1, q1, n1, t1 = tessellate_subdiv(
+        f"{SUBDIVS}/cubesubdiv.obj", 2, True,
+        displacement=0.05, disp_tex=flat,
+    )
+    d = np.linalg.norm(p1 - p0, axis=1)
+    np.testing.assert_allclose(d, 0.05, atol=1e-5)  # uniform outward push
