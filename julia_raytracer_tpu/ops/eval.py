@@ -149,18 +149,23 @@ def eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx, flags,
 def eval_shading_normal(
     scene, gnormal, verts, vidx, inst, flags, u, v, outgoing, mat_type, normal_tex,
     texcoord, with_normalmap=True, with_vertex_normals=True, refractive_present=True,
+    instanced=False,
 ):
     """Full shading-normal pipeline (src/scene.jl:479-523): vertex normal,
     optional normal map, faceforward — except refractive materials keep
     the geometric orientation (src/scene.jl:504-506). The with_* flags
     statically drop stages the scene cannot exercise. `verts` may be None
-    when with_normalmap is False (only the tangent path needs it)."""
+    when with_normalmap is False (only the tangent path needs it).
+    `instanced=True` means `verts` are shape-space (instanced scenes keep
+    prim_verts untransformed), so normal-map tangents must rotate into
+    world by the instance frame before building the TBN."""
     normal = eval_normal(
         scene, gnormal, vidx, inst, flags, u, v,
         with_vertex_normals=with_vertex_normals,
     )
     if with_normalmap:
-        normal = eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx, flags)
+        normal = eval_normalmap(scene, normal, texcoord, normal_tex, verts, vidx,
+                                flags, inst=inst, instanced=instanced)
     forward = jnp.where(dot(normal, outgoing)[..., None] >= 0.0, normal, -normal)
     if not refractive_present:
         return forward

@@ -96,12 +96,17 @@ def denoise_image(image, albedo, normal, width: int, height: int,
     """Denoise the accumulated radiance using the albedo/normal AOVs.
 
     image [P, 4] (rgb + alpha), albedo [P, 3], normal [P, 3] — the
-    TraceState accumulation buffers, flat pixel-major. Returns a
-    denoised [P, 4]; alpha passes through untouched.
+    TraceState accumulation buffers, flat pixel-major. P may exceed
+    height*width: trace_samples pads the accumulation buffers to a chunk
+    multiple (renderer.py chunked instanced path), so slice to the real
+    pixel count before reshaping. Returns a denoised [height*width, 4];
+    alpha passes through untouched (get_image re-slices to n_pixels).
     """
+    n = height * width
+    image = image[:n]
     rgb = image[:, 0:3].reshape(height, width, 3)
-    alb = albedo.reshape(height, width, 3)
-    nrm = normal.reshape(height, width, 3)
+    alb = albedo[:n].reshape(height, width, 3)
+    nrm = normal[:n].reshape(height, width, 3)
     # Zero-normal pixels (pure env/miss) get a unit dummy so w_n compares
     # miss-vs-miss as similar instead of 0**sigma everywhere.
     nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)

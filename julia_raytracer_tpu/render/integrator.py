@@ -672,6 +672,7 @@ def trace_wavefront(
             with_normalmap=config.has_normal_maps,
             with_vertex_normals=config.has_vertex_normals,
             refractive_present=int(4) in config.present_types,
+            instanced=config.inst_tables is not None,
         )
         if has_curves:
             # lines: frame the tangent against the view

@@ -41,12 +41,12 @@ class Params:
     scene: str = "scene.json"
     output: str = "out.png"
     camera: str = ""
-    addsky: bool = False  # accepted-but-stubbed (src/jtrace.jl:35-46)
-    envname: str = ""  # accepted-but-stubbed
+    addsky: bool = False  # REAL here (scene/augment.py Preetham sun-sky); the reference stubs it (src/jtrace.jl:35-46)
+    envname: str = ""  # REAL here (scene/augment.py env-from-image); stubbed in the reference
     resolution: int = 1280
     samples: int = 512
     bounces: int = 8
-    denoise: bool = False  # accepted-but-stubbed
+    denoise: bool = False  # REAL here (render/denoise.py à-trous); stubbed in the reference
     noparallel: bool = False
     highqualitybvh: bool = False
     envhidden: bool = False
@@ -199,8 +199,13 @@ class Renderer:
 
         self.params = params
         self.scene_data = scene_data
+        # --addsky/--envname mutate scene_data after load (scene/augment.py
+        # adds environments/textures), so they must be part of the content
+        # key or a heavy-scene run with a different augmentation flag would
+        # reuse stale cached light tables (wrong env CDFs -> biased MIS).
+        aug = f"sky{int(params.addsky)}:env{params.envname or '-'}"
         cache_key = scene_cache_key(
-            params.scene, "sah" if params.highqualitybvh else "mid"
+            params.scene, "sah" if params.highqualitybvh else "mid", aug
         )
         self.dscene, self.config = build_device_scene(
             scene_data, highquality_bvh=params.highqualitybvh, cache_key=cache_key

@@ -48,7 +48,13 @@ def load_obj_cage(path: str):
                         f"{len(idx)}-gon"
                     )
                 if all(len(t) > 1 and t[1] for t in toks):
-                    vt = [int(t[1]) - 1 for t in toks]
+                    # negative vt indices resolve against the texcoords read
+                    # so far, same as position indices (silent numpy wrap
+                    # would yield wrong texcoords instead of an error)
+                    raw_vt = [int(t[1]) for t in toks]
+                    vt = [i - 1 if i > 0 else len(uvs) + i for i in raw_vt]
+                    if any(i < 0 or i >= len(uvs) for i in vt):
+                        raise ValueError(f"{path}: texcoord index out of range")
                     if len(vt) == 3:
                         vt = vt + [vt[2]]
                     vt_faces.append(vt)

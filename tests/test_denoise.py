@@ -101,3 +101,24 @@ def test_denoise_flat_regions_smooth():
     assert var_out < 0.05 * var_in, (var_out, var_in)
     # and the mean is preserved (energy conservation of the filter)
     np.testing.assert_allclose(den[:, :3].mean(), img[:, :3].mean(), atol=0.01)
+
+
+def test_denoise_accepts_padded_buffers():
+    """trace_samples pads accumulation buffers to a chunk multiple (always
+    for instanced scenes; renderer.py stores the padded arrays in state).
+    denoise_image must slice to height*width instead of crashing on the
+    reshape, and the result must be identical to the unpadded call."""
+    rng = np.random.default_rng(1)
+    H, W = 24, 40
+    n = H * W
+    img = rng.uniform(0, 1, (n, 4)).astype(np.float32)
+    albedo = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    normal = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
+    pad = 173  # deliberately not a multiple of anything
+    img_p = np.pad(img, ((0, pad), (0, 0)))
+    alb_p = np.pad(albedo, ((0, pad), (0, 0)))
+    nrm_p = np.pad(normal, ((0, pad), (0, 0)))
+    den = np.asarray(denoise_image(img, albedo, normal, W, H))
+    den_p = np.asarray(denoise_image(img_p, alb_p, nrm_p, W, H))
+    assert den_p.shape == (n, 4)
+    np.testing.assert_allclose(den_p, den, rtol=1e-6, atol=1e-6)
