@@ -32,19 +32,33 @@ def main() -> None:
     # fail fast if the TPU tunnel is down. A SIGALRM handler can NOT
     # interrupt the blocking backend-init C call (verified: the handler
     # only runs between bytecodes), so probe in a subprocess that an OS
-    # timeout can kill.
+    # timeout can kill. Tunnel outages are often transient (round 2 lost
+    # its whole BENCH artifact to one), so retry the probe over a ~10 min
+    # window before giving up: 3 probes x 180 s timeout + 2 x 120 s sleeps.
     import subprocess
     import sys
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=300, check=True, capture_output=True,
-        )
-    except subprocess.TimeoutExpired:
-        raise SystemExit(
-            "bench: jax backend init exceeded 300 s (TPU tunnel down?)"
-        )
+    probes, probe_timeout, gap = 3, 180, 120
+    for attempt in range(probes):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, check=True, capture_output=True,
+            )
+            break
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(
+                f"bench: backend probe {attempt + 1}/{probes} failed "
+                f"({type(e).__name__}); retrying in {gap}s",
+                file=sys.stderr, flush=True,
+            )
+            if attempt == probes - 1:
+                raise SystemExit(
+                    "bench: jax backend init failed for all "
+                    f"{probes} probes over ~{(probes - 1) * gap + probes * probe_timeout}s "
+                    "(TPU tunnel down?)"
+                )
+            time.sleep(gap)
     _enable_compile_cache()
     from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
     from julia_raytracer_tpu.scene.loader import load_scene
@@ -76,6 +90,23 @@ def main() -> None:
 
     paths = state.n_pixels * bench_samples
     mpaths = paths / dt / 1e6
+
+    # MFU/roofline accounting (VERDICT r2 item 5): XLA cost-analysis
+    # flops+bytes of one sample x samples / wall vs v5e peaks. Only
+    # meaningful on TPU (CPU backend has no v5e roofline).
+    import jax
+
+    roof = {}
+    if jax.devices()[0].platform != "cpu":
+        from julia_raytracer_tpu.utils.roofline import roofline
+
+        cost = renderer.sample_kernel_cost(state)
+        if cost:
+            roof = roofline(
+                cost["flops"] * bench_samples,
+                cost["bytes_accessed"] * bench_samples,
+                dt,
+            )
     print(
         json.dumps(
             {
@@ -83,6 +114,7 @@ def main() -> None:
                 "value": round(mpaths, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths / BASELINE_MPATHS, 3),
+                **roof,
                 "baseline_kind": "estimate",
                 "baseline_note": (
                     "denominator 1.0 Mpaths/s is an ESTIMATE of the "

@@ -303,6 +303,40 @@ class Renderer:
         self._kernel_cache[key] = fn
         return fn
 
+    def sample_kernel_cost(self, state: TraceState) -> dict:
+        """XLA cost analysis of ONE full sample (all chunks) of the
+        compiled per-sample kernel: {"flops", "bytes_accessed",
+        "chunks_per_sample"}. Used by bench.py / tools/bench_heavy.py
+        for MFU/roofline accounting; lowering with ShapeDtypeStructs
+        hits the jit cache, so this costs no recompile after a render."""
+        import jax
+
+        from julia_raytracer_tpu.utils.roofline import compiled_cost
+
+        n = state.n_pixels
+        chunk = min(MAX_CHUNK, n)
+        if self.config.inst_tables is not None:
+            chunk = min(chunk, 1 << 15)
+        kernel = self._sample_kernel(state.width, state.height, chunk)
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        sds = jax.ShapeDtypeStruct
+        args = (
+            self.dscene, self.cam_arrays,
+            sds((n_pad, 4), jnp.float32), sds((n_pad, 3), jnp.float32),
+            sds((n_pad, 3), jnp.float32), sds((n_pad,), jnp.int32),
+            sds((), jnp.int32), sds((), jnp.int32),
+        )
+        try:
+            cost = compiled_cost(kernel.lower(*args).compile())
+        except Exception:
+            return {}
+        nchunks = -(-n // chunk)
+        return {
+            "flops": cost.get("flops", 0.0) * nchunks,
+            "bytes_accessed": cost.get("bytes_accessed", 0.0) * nchunks,
+            "chunks_per_sample": nchunks,
+        }
+
     def _adaptive_kernel(self, width: int, height: int, chunk: int,
                          uniform: bool):
         """Compiled fn for ADAPTIVE sampling (beyond reference).

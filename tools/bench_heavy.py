@@ -65,6 +65,17 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
     # paths/s: one camera path per pixel per sample
     mrays = n_px * measured / dt / 1e6
     extra = {}
+    # MFU/roofline (VERDICT r2 item 5): cost analysis of the compiled
+    # per-sample kernel vs v5e peaks; TPU only.
+    if jax.devices()[0].platform != "cpu":
+        from julia_raytracer_tpu.utils.roofline import roofline
+
+        cost = r.sample_kernel_cost(state)
+        if cost:
+            extra.update(roofline(
+                cost["flops"] * measured,
+                cost["bytes_accessed"] * measured, dt,
+            ))
     tb = r.config.inst_tables
     if tb is not None:
         # two-level instancing: report device-table footprint vs what the
