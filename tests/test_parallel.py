@@ -77,20 +77,13 @@ def test_sharded_train_step(setup):
     assert not np.allclose(np.asarray(new_emission), np.asarray(mats.emission))
 
 
-def test_sharded_hybrid_instanced_render_matches_single():
-    """The hybrid-instancing intersector (flat world soup + work items +
-    remap gather) must be GSPMD-clean: sharded render over the 8-device
-    mesh == single-device render on a hybrid-built instanced scene."""
-    from julia_raytracer_tpu.render.scene_device import (
-        build_device_scene_instanced,
-    )
-    from julia_raytracer_tpu.render.integrator import TraceOptions
+def _synthetic_instanced_scene(rng):
+    """Small two-shape, five-instance scene with an environment; used by
+    the hybrid and pure-instanced multi-device tests."""
     from julia_raytracer_tpu.scene.types import (
         CameraData, EnvironmentData, InstanceData, MaterialData, SceneData,
         ShapeData,
     )
-
-    rng = np.random.default_rng(11)
 
     def soup(n_tris, scale):
         base = rng.normal(size=(n_tris, 3)).astype(np.float32)
@@ -118,7 +111,7 @@ def test_sharded_hybrid_instanced_render_matches_single():
         f[3] = t
         return f
 
-    scene = SceneData(
+    return SceneData(
         cameras=[CameraData()],
         shapes=[soup(30, 1.0), soup(20, 0.5)],
         materials=[MaterialData(color=np.array([0.6, 0.7, 0.8], np.float32))],
@@ -131,17 +124,35 @@ def test_sharded_hybrid_instanced_render_matches_single():
             EnvironmentData(emission=np.array([1.0, 1.0, 1.0], np.float32))
         ],
     )
-    dsc, cfg = build_device_scene_instanced(scene, hybrid_budget=50)
+
+
+def _instanced_rays(n, seed):
+    srng = np.random.default_rng(seed)
+    ro = np.tile([0.0, 0.0, 8.0], (n, 1)).astype(np.float32)
+    rd = srng.normal(size=(n, 3)).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rngs = rng_mod.seed_state(jnp.arange(n, dtype=jnp.int32), jnp.int32(0), 0)
+    return jnp.asarray(ro), jnp.asarray(rd), rngs
+
+
+def test_sharded_hybrid_instanced_render_matches_single():
+    """The hybrid-instancing intersector (flat world soup + work items +
+    remap gather) must be GSPMD-clean: sharded render over the 8-device
+    mesh == single-device render on a hybrid-built instanced scene."""
+    from julia_raytracer_tpu.render.scene_device import (
+        build_device_scene_instanced,
+    )
+    from julia_raytracer_tpu.render.integrator import TraceOptions
+
+    rng = np.random.default_rng(11)
+    dsc, cfg = build_device_scene_instanced(
+        _synthetic_instanced_scene(rng), hybrid_budget=50
+    )
     assert cfg.hyb_world_verts is not None and len(cfg.hyb_world_verts)
     assert len(cfg.inst_tables.wi_inst) > 0  # genuinely mixed
 
-    n = 2048
-    ro = np.tile([0.0, 0.0, 8.0], (n, 1)).astype(np.float32)
-    rd = rng.normal(size=(n, 3)).astype(np.float32)
-    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
-    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
-    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
-    rngs = rng_mod.seed_state(jnp.arange(n, dtype=jnp.int32), jnp.int32(0), 0)
+    ro, rd, rngs = _instanced_rays(2048, 11)
     opts = TraceOptions(sampler="path", bounces=3)
 
     mesh = make_mesh(8)
@@ -152,3 +163,72 @@ def test_sharded_hybrid_instanced_render_matches_single():
         np.asarray(rad_sh), np.asarray(rad_1), rtol=5e-4, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(hit_sh), np.asarray(hit_1))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 item 7: multi-device coverage beyond cornellbox — the paths
+# whose intersectors differ per backend (area lights + env importance
+# sampling + instancing) through the REAL cross-host entry point
+# (distributed_render_fn), single-process on the virtual 8-device mesh.
+# ---------------------------------------------------------------------------
+
+
+def _distributed_vs_single(dsc, cfg, opts, ro, rd, rngs):
+    from julia_raytracer_tpu.parallel.distributed import (
+        distributed_render_fn, global_mesh,
+    )
+
+    mesh = global_mesh()
+    render = distributed_render_fn(mesh, dsc, cfg, opts)
+    rad_sh, hit_sh, alb_sh, nrm_sh = render(dsc, ro, rd, rngs)
+    rad_1, hit_1, alb_1, nrm_1, _ = trace_wavefront(dsc, cfg, opts, ro, rd, rngs)
+    np.testing.assert_allclose(
+        np.asarray(rad_sh), np.asarray(rad_1), rtol=5e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(hit_sh), np.asarray(hit_1))
+    np.testing.assert_allclose(
+        np.asarray(alb_sh), np.asarray(alb_1), rtol=5e-4, atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_distributed_render_staircase2_area_lights_env():
+    """staircase2 (31k prims, 13 emissive materials) + the procedural
+    sun-sky environment (--addsky): exercises segmented area-light CDFs,
+    env texel importance sampling, and the MIS pdf sweep under
+    distributed_render_fn — sharded == single."""
+    from julia_raytracer_tpu.render.integrator import TraceOptions
+    from julia_raytracer_tpu.scene.augment import add_sky
+    from julia_raytracer_tpu.scene.loader import load_scene
+    from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
+
+    scene = load_scene("/root/reference/scenes/staircase2/staircase2.json")
+    add_sky(scene)
+    params = Params(resolution=24, samples=1, bounces=3, sampler="path")
+    r = Renderer(scene, params)
+    state = make_trace_state(scene, params)
+    assert r.config.n_envs > 0 and r.config.n_prims > 30_000
+    ro, rd, rngs = _rays(r, state)
+    _distributed_vs_single(r.dscene, r.config, r.options, ro, rd, rngs)
+
+
+@pytest.mark.slow
+def test_distributed_render_instanced():
+    """A genuinely two-level instanced scene (work-item tables + inst_rows
+    ray transforms, hybrid flatten forced OFF) through
+    distributed_render_fn — the instanced intersector must be
+    GSPMD/shard_map-clean too."""
+    from julia_raytracer_tpu.render.integrator import TraceOptions
+    from julia_raytracer_tpu.render.scene_device import (
+        build_device_scene_instanced,
+    )
+
+    rng = np.random.default_rng(13)
+    dsc, cfg = build_device_scene_instanced(
+        _synthetic_instanced_scene(rng), hybrid_budget=0
+    )
+    assert cfg.inst_tables is not None and len(cfg.inst_tables.wi_inst) > 0
+    assert cfg.hyb_world_verts is None or not len(cfg.hyb_world_verts)
+    ro, rd, rngs = _instanced_rays(2048, 13)
+    opts = TraceOptions(sampler="path", bounces=3)
+    _distributed_vs_single(dsc, cfg, opts, ro, rd, rngs)
