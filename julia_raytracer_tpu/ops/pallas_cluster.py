@@ -1074,9 +1074,18 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         [tfm.reshape(n_super, sup, 12, TRIS), nrm.reshape(n_super, sup, 4, TRIS)],
         axis=2,
     )
+    # NB device tables are NOT closed over by the traced intersect body —
+    # a closure-captured jax.Array lowers as an inline literal, embedding
+    # the whole table (kitchen: ~185 MB) in the program. That bloats the
+    # MLIR, can push the serialized executable past the 2 GiB protobuf
+    # limit (observed at sup=32 on kitchen), and duplicates the table in
+    # HBM per compiled kernel variant. Instead the default tables ride in
+    # through the `tables` argument (threaded from dscene.isec_tables by
+    # trace_wavefront), so XLA sees parameters, not constants.
     tab_d = jnp.asarray(tab)
     bbox_d = jnp.asarray(bbox.reshape(n_super, sup, 8))
     sbbox_d = jnp.asarray(sbbox)
+    default_tables = (tab_d, bbox_d, sbbox_d)
     kernel = _make_kernel_worklist(n_super, n_clusters, q, sup, flat=flat_grid)
     S = n_super
 
@@ -1088,7 +1097,7 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         pltpu.VMEM((ROWS, LANES), jnp.int32),
     ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6
 
-    def chunk_call_flat(rays_packed, sub_blocks, order, cnt):
+    def chunk_call_flat(rays_packed, sub_blocks, order, cnt, bbox_t, tab_t):
         """Flattened 1-D dispatch: one grid step per live (block,
         supercluster) pair. The step count is data-dependent, so it is
         bucketed to a power-of-two ladder of static grid sizes (down to
@@ -1143,7 +1152,7 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
                     grid_spec=grid_spec,
                     out_shape=[shape_f, shape_i],
                     interpret=interpret,
-                )(blk_[:cap], sc_[:cap], flg_[:cap], rays, bbox_d, tab_d)
+                )(blk_[:cap], sc_[:cap], flg_[:cap], rays, bbox_t, tab_t)
 
             return run
 
@@ -1157,7 +1166,7 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             (blk, sc, flg, rays_packed),
         )
 
-    def chunk_call(rays_packed, sub_blocks, work):
+    def chunk_call(rays_packed, sub_blocks, work, bbox_t, tab_t):
         """One pallas_call over sub_blocks ray blocks.
         rays_packed: [sub_blocks*8*ROWS, LANES]; work: [sub_blocks, S]."""
         shape_f = jax.ShapeDtypeStruct((sub_blocks * 9 * ROWS, LANES), jnp.float32)
@@ -1196,17 +1205,17 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             grid_spec=grid_spec,
             out_shape=[shape_f, shape_i],
             interpret=interpret,
-        )(work, rays_packed, bbox_d, tab_d)
+        )(work, rays_packed, bbox_t, tab_t)
 
-    def precull(ro_c, rd_c, tmin_c, tmax_c, nblocks):
+    def precull(ro_c, rd_c, tmin_c, tmax_c, nblocks, sbbox_t):
         """[rays] component arrays -> front-to-back candidate order
         [nblocks, S] + live count [nblocks]. The elementwise tree fuses;
         only the [rays, S] predicate materializes."""
         o = jnp.stack(ro_c, axis=-1).reshape(-1, 1, 3)
         d = jnp.stack(rd_c, axis=-1).reshape(-1, 1, 3)
         di = 1.0 / jnp.where(d == 0.0, 1e-30, d)
-        t0 = (sbbox_d[None, :, 0:3] - o) * di
-        t1 = (sbbox_d[None, :, 3:6] - o) * di
+        t0 = (sbbox_t[None, :, 0:3] - o) * di
+        t1 = (sbbox_t[None, :, 3:6] - o) * di
         enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
         exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
         enter = jnp.maximum(enter, tmin_c.reshape(-1, 1))
@@ -1227,8 +1236,8 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         j = jnp.minimum(sc_ids, jnp.maximum(cnt - 1, 0)[:, None])
         return jnp.take_along_axis(order, j, axis=1), cnt  # [nblocks, S]
 
-    @jax.jit
-    def intersect(ro, rd, tmin, tmax):
+    def _intersect_impl(ro, rd, tmin, tmax, tables):
+        tab_t, bbox_t, sbbox_t = tables
         n = ro.shape[0]
         n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
         pad = n_pad - n
@@ -1265,13 +1274,14 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             work, cnt = precull(
                 [c[rsel] for c in comps[0:3]],
                 [c[rsel] for c in comps[3:6]],
-                comps[6][rsel], comps[7][rsel], nb,
+                comps[6][rsel], comps[7][rsel], nb, sbbox_t,
             )
             rays_chunk = packed[blo * 8 * ROWS : bhi * 8 * ROWS]
             if flat_grid:
-                of, oi = chunk_call_flat(rays_chunk, nb, work, cnt)
+                of, oi = chunk_call_flat(rays_chunk, nb, work, cnt,
+                                         bbox_t, tab_t)
             else:
-                of, oi = chunk_call(rays_chunk, nb, work)
+                of, oi = chunk_call(rays_chunk, nb, work, bbox_t, tab_t)
             parts_f.append(of.reshape(nb, 9, ROWS, LANES))
             parts_i.append(oi.reshape(nb, 2, ROWS, LANES))
         outf = parts_f[0] if len(parts_f) == 1 else jnp.concatenate(parts_f, axis=0)
@@ -1286,6 +1296,14 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         hit = prim >= 0
         return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, comp_i(1))
 
+    jitted = jax.jit(_intersect_impl)
+
+    def intersect(ro, rd, tmin, tmax, tables=None):
+        return jitted(ro, rd, tmin, tmax,
+                      default_tables if tables is None else tables)
+
+    intersect.tables = default_tables
+    intersect.wants_tables = True
     return intersect
 
 
@@ -1554,6 +1572,11 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
     n_items = max(len(tables.wi_sup), 1)
     K = min(k_items, max(8, n_items))
 
+    # As with the worklist kernel, device tables must be ARGUMENTS of the
+    # traced body, never closure constants — closure-captured jax.Arrays
+    # lower as inline literals and bloat the program (ecosys shape tables
+    # are ~100 MB). Defaults ride in via `tables=`; trace_wavefront
+    # threads dscene.isec_tables through instead.
     tab_d = jnp.asarray(tables.tab)
     bbox_d = jnp.asarray(tables.bbox)
     xf_d = jnp.asarray(tables.inst_rows).reshape(-1, 1, 24)
@@ -1565,6 +1588,7 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
     )
     wib = tables.wi_bbox if len(tables.wi_bbox) else np.zeros((1, 6), np.float32)
     wib_d = jnp.asarray(wib)
+    default_tables = (tab_d, bbox_d, xf_d, wsup_d, winst_d, wib_d)
     max_rounds = -(-n_items // K)
     n_pad_items = max_rounds * K
 
@@ -1577,15 +1601,16 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
         pltpu.VMEM((ROWS, LANES), jnp.int32),
     ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 6
 
-    def chunk_call_flat(rays_packed, sub_blocks, order, cnt):
+    def chunk_call_flat(rays_packed, sub_blocks, order, cnt,
+                        bbox_t, tab_t, xf_t, wsup_t, winst_t):
         """One grid step per live (block, work-item) pair. Data-dependent
         total -> power-of-two ladder of static grid sizes under a
         lax.switch (tail steps carry flags=0 and repeat the previous
         index maps, so their DMAs are skipped)."""
         nb = sub_blocks
         blk, item, flg, caps, total = _flat_dispatch_plan(order, cnt, nb)
-        sc = wsup_d[item]
-        xr = winst_d[item]
+        sc = wsup_t[item]
+        xr = winst_t[item]
         shape_f = jax.ShapeDtypeStruct((nb * 9 * ROWS, LANES), jnp.float32)
         shape_i = jax.ShapeDtypeStruct((nb * 2 * ROWS, LANES), jnp.int32)
 
@@ -1637,7 +1662,7 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
                     out_shape=[shape_f, shape_i],
                     interpret=interpret,
                 )(blk_[:cap], sc_[:cap], xr_[:cap], flg_[:cap],
-                  rays, bbox_d, tab_d, xf_d)
+                  rays, bbox_t, tab_t, xf_t)
 
             return run
 
@@ -1651,7 +1676,8 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
             (blk, sc, xr, flg, rays_packed),
         )
 
-    def chunk_call(rays_packed, sub_blocks, wq, cnt):
+    def chunk_call(rays_packed, sub_blocks, wq, cnt,
+                   bbox_t, tab_t, xf_t, wsup_t, winst_t):
         shape_f = jax.ShapeDtypeStruct((sub_blocks * 9 * ROWS, LANES), jnp.float32)
         shape_i = jax.ShapeDtypeStruct((sub_blocks * 2 * ROWS, LANES), jnp.int32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1695,9 +1721,9 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
             grid_spec=grid_spec,
             out_shape=[shape_f, shape_i],
             interpret=interpret,
-        )(wq, cnt, wsup_d, winst_d, rays_packed, bbox_d, tab_d, xf_d)
+        )(wq, cnt, wsup_t, winst_t, rays_packed, bbox_t, tab_t, xf_t)
 
-    def beam_precull(comps, nblocks):
+    def beam_precull(comps, nblocks, wib_t):
         """Per-block candidate items by EXACT per-ray slab tests (same
         idea as the worklist kernel's precull, per work-item bbox):
         an interval-beam overlap test was tried first and passed 84% of
@@ -1706,8 +1732,8 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
         K=64 rounds; the exact cull is ~20 flops x rays x items of
         fully-fused VPU work and yields both a tight candidate set and
         a true front-to-back t_low = min over member rays' slab entry."""
-        item_lo = wib_d[:, 0:3]  # [Ni, 3]
-        item_hi = wib_d[:, 3:6]
+        item_lo = wib_t[:, 0:3]  # [Ni, 3]
+        item_hi = wib_t[:, 3:6]
 
         def per_block(args):
             o, d, tn, tx = args  # [BLOCK_RAYS,3]x2, [BLOCK_RAYS]x2
@@ -1740,8 +1766,8 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
             )
         return order, tlow_sorted, cnt
 
-    @jax.jit
-    def intersect(ro, rd, tmin, tmax):
+    def _intersect_impl(ro, rd, tmin, tmax, tables):
+        tab_t, bbox_t, xf_t, wsup_t, winst_t, wib_t = tables
         n = ro.shape[0]
         n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
         pad = n_pad - n
@@ -1761,7 +1787,7 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
             nb = bhi_i - blo_i
             rsel = slice(blo_i * ROWS, bhi_i * ROWS)
             ccomp = [c[rsel] for c in comps]
-            order, tlow_sorted, cnt = beam_precull(ccomp, nb)
+            order, tlow_sorted, cnt = beam_precull(ccomp, nb, wib_t)
 
             if flat_grid:
                 of, oi = chunk_call_flat(
@@ -1770,6 +1796,7 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
                     .transpose(1, 0, 2, 3)
                     .reshape(nb * 8 * ROWS, LANES),
                     nb, order, cnt,
+                    bbox_t, tab_t, xf_t, wsup_t, winst_t,
                 )
                 parts_f.append(of.reshape(nb, 9, ROWS, LANES))
                 parts_i.append(oi.reshape(nb, 2, ROWS, LANES))
@@ -1804,7 +1831,8 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
                 best_t = accf[:, 2]
                 rays = packed0.at[:, 7].set(jnp.minimum(tmax0, best_t))
                 of, oi = chunk_call(
-                    rays.reshape(nb * 8 * ROWS, LANES), nb, wq, cntr
+                    rays.reshape(nb * 8 * ROWS, LANES), nb, wq, cntr,
+                    bbox_t, tab_t, xf_t, wsup_t, winst_t,
                 )
                 of = of.reshape(nb, 9, ROWS, LANES)
                 oi = oi.reshape(nb, 2, ROWS, LANES)
@@ -1841,4 +1869,12 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
         hit = prim >= 0
         return Hit(hit, prim, u, v, jnp.where(hit, t, tmax), pos, gn, comp_i(1))
 
+    jitted = jax.jit(_intersect_impl)
+
+    def intersect(ro, rd, tmin, tmax, tables=None):
+        return jitted(ro, rd, tmin, tmax,
+                      default_tables if tables is None else tables)
+
+    intersect.tables = default_tables
+    intersect.wants_tables = True
     return intersect

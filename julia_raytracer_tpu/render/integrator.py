@@ -218,17 +218,32 @@ def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
             make_intersect_instanced_ref(dscene, config) if has_items else None
         )
 
-    def intersect(ro, rd, tmin, tmax):
-        h1 = flat_part(ro, rd, tmin, tmax)
+    # compose the two branches' device tables so they thread through the
+    # jit boundary as arguments (see pallas_cluster: closure-captured
+    # tables lower as inline program literals)
+    flat_tables = getattr(flat_part, "tables", None)
+    inst_tables_d = getattr(inst_part, "tables", None)
+    default_tables = (flat_tables, inst_tables_d, remap_d)
+
+    def intersect(ro, rd, tmin, tmax, tables=None):
+        flat_t, inst_t, remap_t = tables if tables is not None else default_tables
+        if flat_tables is not None:
+            h1 = flat_part(ro, rd, tmin, tmax, tables=flat_t)
+        else:
+            h1 = flat_part(ro, rd, tmin, tmax)
         prim1 = jnp.where(
-            h1.hit, jnp.take(remap_d, jnp.maximum(h1.prim, 0)), -1
+            h1.hit, jnp.take(remap_t, jnp.maximum(h1.prim, 0)), -1
         )
         if inst_part is None:
             return h1._replace(prim=prim1)
         # strict-improvement tmax: the instanced branch only reports hits
         # closer than the flat branch's best
         t_cut = jnp.where(h1.hit, h1.t * jnp.float32(1.0000002), tmax)
-        h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut))
+        if inst_tables_d is not None:
+            h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut),
+                           tables=inst_t)
+        else:
+            h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut))
         take2 = h2.hit
         sel = lambda a, b: jnp.where(take2, a, b)
         selv = lambda a, b: jnp.where(take2[:, None], a, b)
@@ -244,6 +259,8 @@ def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
             instance=sel(h2.instance, h1.instance),
         )
 
+    intersect.tables = default_tables
+    intersect.wants_tables = True
     return intersect
 
 
@@ -262,10 +279,14 @@ def curve_wrap(intersect, dscene: DeviceScene, config: SceneConfig):
     if L == 0 and P == 0:
         return intersect
     Q = dscene.prim_verts.shape[0]
+    inner_wants = getattr(intersect, "wants_tables", False)
 
-    def wrapped(ro, rd, tmin, tmax):
+    def wrapped(ro, rd, tmin, tmax, tables=None):
         if Q > 0:
-            h = intersect(ro, rd, tmin, tmax)
+            if inner_wants:
+                h = intersect(ro, rd, tmin, tmax, tables=tables)
+            else:
+                h = intersect(ro, rd, tmin, tmax)
         else:
             n = ro.shape[0]
             z = jnp.zeros(n, jnp.float32)
@@ -329,6 +350,9 @@ def curve_wrap(intersect, dscene: DeviceScene, config: SceneConfig):
             )
         return best
 
+    if inner_wants:
+        wrapped.tables = intersect.tables
+        wrapped.wants_tables = True
     return wrapped
 
 
@@ -477,6 +501,17 @@ def trace_wavefront(
     n = ro.shape[0]
     if intersect is None:
         intersect = make_intersect(dscene, config)
+    if getattr(intersect, "wants_tables", False) and dscene.isec_tables:
+        # thread the Pallas kernel tables through the jit boundary as
+        # ARGUMENTS (dscene is a traced arg): closure-captured device
+        # arrays would otherwise lower as inline literals, bloating the
+        # program by the table size per compiled kernel variant
+        _inner = intersect
+        _tabs = dscene.isec_tables
+
+        def intersect(ro_, rd_, tn_, tx_):
+            return _inner(ro_, rd_, tn_, tx_, tables=_tabs)
+
     is_path = options.sampler == "path"
     counts = config.light_counts
     has_lights = counts.total > 0

@@ -242,6 +242,13 @@ class Renderer:
             sort_rays=self.config.n_prims >= 50_000,
         )
         self.intersect = build_intersector(self.dscene, self.config)
+        if getattr(self.intersect, "wants_tables", False):
+            # carry the kernel tables on the dscene pytree so every jit
+            # that takes dscene threads them as arguments (see
+            # DeviceScene.isec_tables / trace_wavefront)
+            self.dscene = self.dscene._replace(
+                isec_tables=self.intersect.tables
+            )
         self._kernel_cache = {}
 
     # -- per-sample kernel ------------------------------------------------

@@ -90,6 +90,12 @@ class DeviceScene(NamedTuple):
     point_radius: jnp.ndarray  # f32 [P]
     point_instance: jnp.ndarray  # i32 [P]
     point_attr: jnp.ndarray  # f32 [P, 9]
+    # Pallas intersector device tables (pytree; shape depends on the
+    # active kernel). Set by Renderer AFTER build_intersector so the
+    # tables enter jitted programs as traced arguments instead of
+    # closure-captured inline literals (kitchen: a 185 MB constant per
+    # kernel variant otherwise). () when the intersector needs none.
+    isec_tables: tuple = ()
 
 
 class SceneConfig(NamedTuple):

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -62,7 +63,15 @@ def main():
         isec_j = jax.jit(lambda a, b: intersect(a, b, tmin, tmax))
         t = timeit(isec_j, ro, rd)
         print(f"intersect jnp    : {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s")
-    isec_p = jax.jit(lambda a, b: r.intersect(a, b, tmin, tmax))
+    if getattr(r.intersect, "wants_tables", False):
+        # pass tables as jit arguments (closure capture would inline the
+        # whole table into the program as a literal)
+        isec_p = jax.jit(
+            lambda a, b, tb: r.intersect(a, b, tmin, tmax, tables=tb)
+        )
+        isec_p = partial(isec_p, tb=r.intersect.tables)
+    else:
+        isec_p = jax.jit(lambda a, b: r.intersect(a, b, tmin, tmax))
     t = timeit(isec_p, ro, rd)
     print(f"intersect fast   : {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s", flush=True)
     if os.environ.get("PROF_ONLY") == "isec":
