@@ -124,6 +124,7 @@ def load_texture(path: str) -> TextureData:
         return TextureData(
             width=1, height=1, linear=ext == ".hdr",
             pixels=np.array([[0.5, 0.5, 0.5, 1.0]], np.float32),
+            placeholder=True,
         )
     if ext == ".hdr":
         img = load_hdr_rgba(path)

@@ -88,6 +88,10 @@ class TextureData:
     # float32 [H*W, 4]; byte textures are stored as byte/255 WITHOUT srgb
     # decode, matching lookup_texture's lazy decode (src/scene.jl:836-849)
     pixels: np.ndarray = field(default_factory=lambda: np.zeros((0, 4), np.float32))
+    # True when the source file was absent (stripped corpus blob) and a
+    # 1x1 mid-gray stand-in was substituted; golden_check masks primary
+    # visibility of materials using such textures out of the MSE
+    placeholder: bool = False
 
 
 @dataclass

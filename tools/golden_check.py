@@ -71,7 +71,51 @@ FAST = [
 ]
 
 
-def run(name: str) -> tuple[float, float, bool]:
+def placeholder_mask(r, scene, width, height):
+    """[H, W] bool mask of pixels whose PRIMARY hit uses a material that
+    references a placeholder (stripped-blob) texture, dilated 2 px.
+    Masking these out of the MSE measures what we can actually compare —
+    the placeholder is a REAL image difference the reference renders with
+    the true texture — instead of absorbing it in a fat tolerance
+    (VERDICT r2 item 6a). Indirect tinting from placeholder surfaces
+    remains in the metric (small, and honest to keep)."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops.camera import sample_camera
+
+    ph_tex = {i for i, t in enumerate(scene.textures) if t.placeholder}
+    if not ph_tex:
+        return None
+    tex_fields = (
+        "emission_tex", "color_tex", "roughness_tex", "scattering_tex",
+        "normal_tex",
+    )
+    ph_mats = {
+        i for i, m in enumerate(scene.materials)
+        if any(getattr(m, k) in ph_tex for k in tex_fields)
+    }
+    if not ph_mats:
+        return None
+    n = width * height
+    pix = jnp.arange(n, dtype=jnp.int32)
+    ij = jnp.stack([pix % width, pix // width], axis=-1)
+    half = jnp.full((n, 2), 0.5, jnp.float32)
+    ro, rd = sample_camera(r.cam_arrays, ij, (width, height), half, half, False)
+    h = r.intersect(ro, rd, jnp.full(n, 1e-4), jnp.full(n, 3.4e38))
+    inst_mat = np.asarray(r.dscene.inst_material)
+    mat = inst_mat[np.clip(np.asarray(h.instance), 0, len(inst_mat) - 1)]
+    mask = (np.isin(mat, list(ph_mats)) & np.asarray(h.hit)).reshape(height, width)
+    # dilate 2 px (filter edges + bilinear taps straddling the boundary)
+    d = mask
+    for _ in range(2):
+        p = np.pad(d, 1)
+        d = (
+            p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:] | d
+        )
+    return d
+
+
+def run(name: str) -> tuple[float, float, bool, float]:
     import jax
 
     jax.config.update(
@@ -111,8 +155,16 @@ def run(name: str) -> tuple[float, float, bool]:
         )
         / 255.0
     )
-    mse = float(((ours - gold) ** 2).mean())
-    return mse, dt, mse < tol
+    err = (ours - gold) ** 2
+    mask = placeholder_mask(r, scene, ours.shape[1], ours.shape[0])
+    if mask is not None and mask.any() and not mask.all():
+        keep = ~mask
+        mse = float(err[keep].mean())
+        mask_frac = float(mask.mean())
+    else:
+        mse = float(err.mean())
+        mask_frac = 0.0
+    return mse, dt, mse < tol, mask_frac
 
 
 def main():
@@ -129,19 +181,20 @@ def main():
     results = []
     for name in names:
         try:
-            mse, dt, ok = run(name)
+            mse, dt, ok, mask_frac = run(name)
         except Exception as e:  # keep the sweep going; report the wreck
             print(f"{name:12s}  ERROR {type(e).__name__}: {e}")
-            results.append((name, float("nan"), 0.0, False))
+            results.append((name, float("nan"), 0.0, False, 0.0))
             continue
         flags = SCENES[name][4]
-        results.append((name, mse, dt, ok))
+        results.append((name, mse, dt, ok, mask_frac))
+        masked = f"  masked {mask_frac*100:.1f}%" if mask_frac else ""
         print(
             f"{name:12s}  MSE {mse:8.5f}  tol {SCENES[name][3]:.3f}  "
-            f"{'PASS' if ok else 'FAIL'}  ({dt:7.1f}s render)"
+            f"{'PASS' if ok else 'FAIL'}  ({dt:7.1f}s render){masked}"
             + (f"  [{flags}]" if flags else "")
         )
-    failed = [n for n, _, _, ok in results if not ok]
+    failed = [n for n, _, _, ok, _ in results if not ok]
     print(f"\n{len(results) - len(failed)}/{len(results)} passed")
     if json_out:
         payload = {
@@ -153,8 +206,9 @@ def main():
                 "resolution": SCENES[n][0],
                 "spp": SCENES[n][1],
                 "flags": SCENES[n][4],
+                "masked_frac": round(mf, 4),
             }
-            for n, m, dt, ok in results
+            for n, m, dt, ok, mf in results
         }
         with open(json_out, "w") as f:
             json.dump(payload, f, indent=1)
