@@ -34,6 +34,14 @@ from julia_raytracer_tpu.utils import rng as rng_mod
 MAX_CHUNK = 1 << 20  # rays per device dispatch
 
 
+def _inst_chunk_cap() -> int:
+    """Ray-chunk cap for instanced scenes (see trace_samples comment);
+    JRT_INST_CHUNK overrides for the fault repro / cap-lift experiment."""
+    import os
+
+    return int(os.environ.get("JRT_INST_CHUNK") or (1 << 15))
+
+
 @dataclass
 class Params:
     """All 17 reference CLI flags (src/cli.jl:13-86) + TPU-side knobs."""
@@ -481,11 +489,15 @@ class Renderer:
                 "corrupt converged pixels"
             )
         if self.config.inst_tables is not None:
-            # instanced scenes: dispatches above ~64 ray blocks inside the
-            # integrator program fault the axon v5e worker (ecosys 384px+;
-            # the same intersect standalone is fine). 32k-lane chunks stay
-            # well under the cliff; accumulation is chunk-invariant.
-            chunk = min(chunk, 1 << 15)
+            # instanced scenes: in round 2, dispatches above ~64 ray blocks
+            # inside the integrator program faulted the axon v5e worker
+            # (ecosys 384px+; the same intersect standalone was fine). The
+            # suspected root cause — intersector tables closure-captured as
+            # inline program literals (~100 MB+ embedded constants) — is
+            # fixed (tables now ride as jit arguments); JRT_INST_CHUNK
+            # overrides the cap for the repro/lift experiment
+            # (tools/repro_inst_fault.py).
+            chunk = min(chunk, _inst_chunk_cap())
         kernel = self._sample_kernel(state.width, state.height, chunk)
         image, albedo, normal, hits = state.image, state.albedo, state.normal, state.hits
         # Pad buffers to a chunk multiple so dynamic_update_slice start indices
@@ -519,7 +531,7 @@ class Renderer:
         params = self.params
         n = state.n_pixels
         if self.config.inst_tables is not None:
-            chunk = min(chunk, 1 << 15)  # instanced-dispatch fault cliff
+            chunk = min(chunk, _inst_chunk_cap())  # see trace_samples
         nchunks = -(-n // chunk)
         if state.counts is None or state.m2 is None:
             raise ValueError(

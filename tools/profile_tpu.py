@@ -74,11 +74,40 @@ def main():
         isec_p = jax.jit(lambda a, b: r.intersect(a, b, tmin, tmax))
     t = timeit(isec_p, ro, rd)
     print(f"intersect fast   : {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s", flush=True)
+
+    # 1a. BOUNCE intersect: incoherent rays scattered from the primary
+    # hits (uniform hemisphere around the geometric normal), sorted with
+    # the integrator's octant+morton key — the dominant cost of
+    # kitchen-class sample time (~85% intersector, mostly bounces)
+    h0 = jax.block_until_ready(isec_p(ro, rd))
+    import numpy as np
+
+    from julia_raytracer_tpu.render.integrator import _sort_key
+
+    hitm = np.asarray(h0.hit)
+    pos = np.asarray(h0.position)
+    gn = np.asarray(h0.gnormal)
+    rngnp = np.random.default_rng(0)
+    d2 = rngnp.normal(size=pos.shape).astype(np.float32)
+    d2 /= np.maximum(np.linalg.norm(d2, axis=1, keepdims=True), 1e-9)
+    flip = (d2 * gn).sum(1) < 0
+    d2[flip] = -d2[flip]
+    o2 = np.where(hitm[:, None], pos + gn * 1e-3, np.asarray(ro))
+    d2 = np.where(hitm[:, None], d2, np.asarray(rd))
+    pv_flat = np.asarray(r.config.host_prim_verts
+                         if r.config.host_prim_verts is not None
+                         else r.dscene.prim_verts).reshape(-1, 3)
+    vmin, vmax = jnp.asarray(pv_flat.min(0)), jnp.asarray(pv_flat.max(0))
+    o2j, d2j = jnp.asarray(o2), jnp.asarray(d2)
+    perm = jnp.argsort(_sort_key(o2j, d2j, vmin, vmax))
+    o2s, d2s = jax.block_until_ready((o2j[perm], d2j[perm]))
+    t = timeit(isec_p, o2s, d2s)
+    print(f"bounce isect sort: {t*1e3:8.2f} ms  -> {n/t/1e6:8.1f} Mrays/s",
+          flush=True)
     if os.environ.get("PROF_ONLY") == "isec":
         return
 
     # 1b. shade-once ablation: specialized surface eval + dispatch
-    h0 = jax.block_until_ready(isec_p(ro, rd))
     cfg = r.config
 
     def shade_once(dscene, prim, u, v, gn):
