@@ -35,11 +35,19 @@ MAX_CHUNK = 1 << 20  # rays per device dispatch
 
 
 def _inst_chunk_cap() -> int:
-    """Ray-chunk cap for instanced scenes (see trace_samples comment);
-    JRT_INST_CHUNK overrides for the fault repro / cap-lift experiment."""
+    """Ray-chunk cap for instanced scenes; JRT_INST_CHUNK overrides.
+
+    Round 2 capped this at 32k lanes to route around a v5e worker fault
+    at >64-block instanced dispatches. Root cause (INST_FAULT_r03.md):
+    the intersector tables were closure-captured inline literals, so
+    every kernel variant embedded ~100 MB-1 GB of constants — oversized
+    executables killed the worker at larger dispatch grids. With tables
+    threaded as jit arguments the full ladder (up to 1M-lane full-frame
+    dispatches) runs clean and full-frame is ~4% faster, so the cap now
+    defaults to MAX_CHUNK (i.e. no extra cap)."""
     import os
 
-    return int(os.environ.get("JRT_INST_CHUNK") or (1 << 15))
+    return int(os.environ.get("JRT_INST_CHUNK") or MAX_CHUNK)
 
 
 @dataclass

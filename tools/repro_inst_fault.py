@@ -51,7 +51,10 @@ state = r.trace_samples(state)
 jax.block_until_ready(state.image)
 dt = time.time() - t0
 import numpy as np
-img = np.asarray(state.image)
+# slice to the real pixel count: trace_samples pads the buffers to a
+# chunk multiple, and a mean over the padded rows would differ by
+# exactly n_pixels/n_padded between cap sizes
+img = np.asarray(state.image)[: state.n_pixels]
 print(f"RESULT ok dt={{dt:.1f}} finite={{bool(np.isfinite(img).all())}} "
       f"mean={{float(img[:, :3].mean()):.5f}}")
 """
@@ -79,9 +82,12 @@ def main() -> None:
                      CHILD.format(repo=REPO, res=res)],
                     env=env, capture_output=True, text=True, timeout=2400,
                 )
-                tail = (p.stdout + p.stderr).strip().splitlines()
-                tail = tail[-1] if tail else ""
-                status = "ok" if (p.returncode == 0 and "RESULT ok" in tail) else "FAULT"
+                out_all = p.stdout + p.stderr
+                ok = p.returncode == 0 and "RESULT ok" in out_all
+                status = "ok" if ok else "FAULT"
+                lines = [l for l in out_all.strip().splitlines()
+                         if "RESULT ok" in l] or out_all.strip().splitlines()
+                tail = lines[-1] if lines else ""
             except subprocess.TimeoutExpired:
                 status, tail = "TIMEOUT", ""
             rec = {
