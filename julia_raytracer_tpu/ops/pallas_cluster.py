@@ -280,16 +280,11 @@ def _make_kernel(n_clusters: int, q: int):
                     sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
                     u_sel = sel(uu)
                     v_sel = sel(vv)
-                    # selected normal per ray: [1,128tri] x [128tri,128ray]
-                    ndot = lambda k: jax.lax.dot_general(
-                        nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    nx_sel = ndot(0)
-                    ny_sel = ndot(1)
-                    nz_sel = ndot(2)
-                    inst_sel = ndot(3)  # instance id rides the normal table
+                    nsel = _nsel_dot(nrm, onehot)
+                    nx_sel = nsel[0:1, :]
+                    ny_sel = nsel[1:2, :]
+                    nz_sel = nsel[2:3, :]
+                    inst_sel = nsel[3:4, :]  # instance id rides the normal table
 
                     odd = (arg % 2) == 1
                     u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
@@ -435,6 +430,7 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
     scratch, which persists across sequential grid steps. Compute (not the
     stream) is skipped for culled superclusters via pl.when."""
     S, C = n_super, n_clusters
+    _dot = _make_tri_dot()
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref, bbox_ref, sbbox_ref, tfm_ref, nrm_ref,
@@ -518,11 +514,7 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
                     [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
                      jnp.zeros((1, LANES), jnp.float32)], axis=0,
                 )
-                dot = lambda a_, b_: jax.lax.dot_general(
-                    a_, b_, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                dot = _dot
                 opx, opy, opz = dot(A[0], o_h), dot(A[1], o_h), dot(A[2], o_h)
                 dpx, dpy, dpz = dot(A[0], d_h), dot(A[1], d_h), dot(A[2], d_h)
 
@@ -544,15 +536,11 @@ def _make_kernel_streamed(n_super: int, n_clusters: int, q: int):
                 sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
                 u_sel = sel(uu)
                 v_sel = sel(vv)
-                ndot = lambda k: jax.lax.dot_general(
-                    nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                nx_sel = ndot(0)
-                ny_sel = ndot(1)
-                nz_sel = ndot(2)
-                inst_sel = ndot(3)  # instance id rides the normal table
+                nsel = _nsel_dot(nrm, onehot)
+                nx_sel = nsel[0:1, :]
+                ny_sel = nsel[1:2, :]
+                nz_sel = nsel[2:3, :]
+                inst_sel = nsel[3:4, :]  # instance id rides the normal table
 
                 odd = (arg % 2) == 1
                 u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
@@ -756,6 +744,68 @@ WL_SUPER = 128  # clusters per supercluster in the worklist kernel
 # ray blocks per pallas_call: bounds the scalar-prefetch work list
 # (blocks * n_super * 4 bytes must stay comfortably inside SMEM)
 WORKLIST_BLOCKS = 256
+# flat-grid ceiling: steps * 4 prefetch arrays * 4 B of scoped SMEM.
+# 32768 -> 512 KB, safely under the ~1 MB Mosaic scoped-SMEM limit
+# (ecosys hybrid at 78848 steps hard-failed allocation)
+_FLAT_STEPS_MAX = 32768
+
+
+def _make_tri_dot():
+    """Dot function for the unit-triangle transform contractions
+    (contract dim 0, k=4). On the TPU MXU an f32 dot runs as bf16
+    passes: HIGHEST ~ 6, DEFAULT 1. The o'/d' transforms feed t/u/v
+    hit tests, where single-pass bf16 (8 mantissa bits) visibly breaks
+    precision. Mosaic's Pallas lowering rejects Precision.HIGH (only
+    DEFAULT/HIGHEST lower), so `split3` hand-rolls HIGH's 3-pass
+    algorithm from supported bf16 DEFAULT dots: a·b ~ ah·bh + ah·bl +
+    al·bh with f32 accumulation (~16 usable mantissa bits + exact
+    accumulate). JRT_TRI_PREC selects for hardware A/B.
+
+    Measured (kitchen 512px bounce rays, TPU v5e): highest 346 ms,
+    split3 286 ms (1.21x), default 248 ms. split3 agrees with highest
+    on 99.72% of bounce-ray prim ids (rest are edge ties) and the
+    kitchen/bathroom1 goldens match the HIGHEST-mode MSEs within
+    sampling noise (0.0430 vs 0.0424 / 0.0393 vs 0.0392), so split3 is
+    the default; single-pass bf16 visibly breaks hit tests.
+
+    On non-TPU backends (interpret-mode tests, CPU fallbacks) a dot is
+    exact f32 at ANY precision, so the split decomposition only LOSES
+    bits there — the default resolves to highest off-TPU."""
+    on_tpu = jax.default_backend() == "tpu"
+    mode = os.environ.get(
+        "JRT_TRI_PREC", "split3" if on_tpu else "highest").lower()
+    dims = (((0,), (0,)), ((), ()))
+    if mode in ("highest", "default"):
+        prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+                else jax.lax.Precision.DEFAULT)
+        return lambda a, b: jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32, precision=prec)
+    if mode == "split3":
+        def dot3(a, b):
+            d = lambda x, y: jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32)
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+        return dot3
+    raise ValueError(
+        f"JRT_TRI_PREC={mode!r}: expected highest|split3|default")
+
+
+def _nsel_dot(nrm, onehot):
+    """Select per-lane winner attributes from the [4,128] normal table
+    via one [4,128]x[128,128] MXU dot (four M=1 dots use 1/128 of the
+    MXU rows each). HIGHEST keeps the selection exact: onehot is 0/1 so
+    every output is a single table value — required because instance
+    ids ride the table as f32 (bf16 single-pass would corrupt ids
+    above 256)."""
+    return jax.lax.dot_general(
+        nrm, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _wl_super_bbox(bbox: np.ndarray, sup: int) -> np.ndarray:
@@ -780,6 +830,7 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int,
     S = n_super
     G8 = min(8, sup)  # cluster-scan skip granularity
     assert sup % G8 == 0
+    _dot = _make_tri_dot()
 
     def impl(sc_id, is_first, live, is_last,
              rays_ref, bbox_ref, tab_ref, outf_ref, outi_ref,
@@ -861,11 +912,7 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int,
                     [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
                      jnp.zeros((1, LANES), jnp.float32)], axis=0,
                 )
-                dot = lambda a_, b_: jax.lax.dot_general(
-                    a_, b_, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                dot = _dot
                 opx, opy, opz = dot(A[0], o_h), dot(A[1], o_h), dot(A[2], o_h)
                 dpx, dpy, dpz = dot(A[0], d_h), dot(A[1], d_h), dot(A[2], d_h)
 
@@ -887,15 +934,11 @@ def _make_kernel_worklist(n_super: int, n_clusters: int, q: int, sup: int,
                 sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
                 u_sel = sel(uu)
                 v_sel = sel(vv)
-                ndot = lambda k: jax.lax.dot_general(
-                    nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                nx_sel = ndot(0)
-                ny_sel = ndot(1)
-                nz_sel = ndot(2)
-                inst_sel = ndot(3)  # instance id rides the normal table
+                nsel = _nsel_dot(nrm, onehot)
+                nx_sel = nsel[0:1, :]
+                ny_sel = nsel[1:2, :]
+                nz_sel = nsel[2:3, :]
+                inst_sel = nsel[3:4, :]  # instance id rides the normal table
 
                 odd = (arg % 2) == 1
                 u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
@@ -1086,6 +1129,15 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
     bbox_d = jnp.asarray(bbox.reshape(n_super, sup, 8))
     sbbox_d = jnp.asarray(sbbox)
     default_tables = (tab_d, bbox_d, sbbox_d)
+    if flat_grid and WORKLIST_BLOCKS * n_super > _FLAT_STEPS_MAX:
+        # the flat grid's scalar-prefetch arrays (blk/sc/flg, one i32
+        # per flattened step) live in SMEM; past ~1 MB of scoped SMEM
+        # the Mosaic allocator hard-fails (observed: ecosys hybrid,
+        # 4 x 308 KB operands). The worst-case step count is static, so
+        # fall back to the rect grid before tracing anything.
+        print(f"worklist flat grid disabled: {WORKLIST_BLOCKS}x{n_super} "
+              f"steps exceed the SMEM prefetch budget", flush=True)
+        flat_grid = False
     kernel = _make_kernel_worklist(n_super, n_clusters, q, sup, flat=flat_grid)
     S = n_super
 
@@ -1344,6 +1396,7 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int,
     one step per live (block, work-item) pair; blk/sc/xf-row/flags ride
     in as scalar prefetch and the whole intersect is ONE dispatch."""
     K = k_items
+    _dot = _make_tri_dot()
 
     def impl(sc_id, inst_id, is_first, live, is_last,
              rays_ref, bbox_ref, tab_ref, xf_ref, outf_ref, outi_ref,
@@ -1425,11 +1478,7 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int,
                         [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
                          jnp.zeros((1, LANES), jnp.float32)], axis=0,
                     )
-                    dot = lambda a_, b_: jax.lax.dot_general(
-                        a_, b_, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                    dot = _dot
                     opx, opy, opz = dot(A[0], o_h), dot(A[1], o_h), dot(A[2], o_h)
                     dpx, dpy, dpz = dot(A[0], d_h), dot(A[1], d_h), dot(A[2], d_h)
 
@@ -1451,14 +1500,10 @@ def _make_kernel_instanced(k_items: int, sup: int, q: int,
                     sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
                     u_sel = sel(uu)
                     v_sel = sel(vv)
-                    ndot = lambda k: jax.lax.dot_general(
-                        nrm[k: k + 1, :], onehot, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    nx_s = ndot(0)
-                    ny_s = ndot(1)
-                    nz_s = ndot(2)
+                    nsel = _nsel_dot(nrm, onehot)
+                    nx_s = nsel[0:1, :]
+                    ny_s = nsel[1:2, :]
+                    nz_s = nsel[2:3, :]
                     # shape -> world normal (n_w = n_s @ R, rigid
                     # transform_normal semantics src/math.jl:124-125);
                     # normalized outside the kernel
@@ -1592,6 +1637,15 @@ def make_cluster_intersect_instanced(tables, interpret: bool = False,
     max_rounds = -(-n_items // K)
     n_pad_items = max_rounds * K
 
+    if flat_grid and INST_CHUNK_BLOCKS * n_pad_items > _FLAT_STEPS_MAX:
+        # see the identical guard in make_cluster_intersect_worklist:
+        # flat-grid prefetch is SMEM-resident and the worst case is
+        # static (observed hard allocator failure on ecosys: 78848-step
+        # ladder = 4 x 308 KB scoped SMEM)
+        print(f"instanced flat grid disabled: {INST_CHUNK_BLOCKS}x"
+              f"{n_pad_items} steps exceed the SMEM prefetch budget",
+              flush=True)
+        flat_grid = False
     kernel = _make_kernel_instanced(K, sup, q, flat=flat_grid)
     _scratch = [
         pltpu.VMEM((sup, ROWS), jnp.int32),
