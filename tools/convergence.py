@@ -1,0 +1,116 @@
+"""MSE-vs-spp convergence curves against the reference goldens.
+
+VERDICT r2 weak #3: classroom and kitchen passed at a tested spp where
+the running mean was still visibly moving — convergence TO the golden
+was asserted, not demonstrated. This tool renders progressively and
+records the masked MSE at an spp ladder, so the artifact shows whether
+the curve has plateaued (and at what level) instead of a single point.
+
+Plateau criterion reported per scene: relative MSE change over the
+last ladder octave (last vs half-last spp); < 5% counts as plateaued.
+
+Usage: python tools/convergence.py [scene ...] [--json OUT]
+Defaults: classroom kitchen, ladder to 512 spp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+import numpy as np
+from PIL import Image
+
+from golden_check import SCENES, placeholder_mask  # noqa: E402
+
+LADDER = [8, 16, 32, 64, 128, 256, 384, 512]
+
+
+def curve(name: str, max_spp: int = 512):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(os.path.dirname(_HERE), ".jax_cache"))
+    from julia_raytracer_tpu.render.renderer import (
+        Params, Renderer, make_trace_state)
+    from julia_raytracer_tpu.scene.loader import load_scene
+    from julia_raytracer_tpu.utils.color import rgb_to_srgb
+
+    res, _, bounces, tol, flags = SCENES[name]
+    scene_path = f"/root/reference/scenes/{name}/{name}.json"
+    scene = load_scene(scene_path)
+    if "env_compat" in flags:
+        for env in scene.environments:
+            if env.emission_tex >= 0:
+                t = scene.textures[env.emission_tex]
+                t.pixels = np.minimum(t.pixels, 1.0)
+    params = Params(
+        scene=scene_path, resolution=res, samples=max_spp, batch=8,
+        bounces=bounces, sampler="path",
+    )
+    r = Renderer(scene, params)
+    state = make_trace_state(scene, params)
+
+    gold_img = Image.open(
+        f"/root/reference/images/{name}_path.png").convert("RGB")
+    gold = None
+    mask = None
+    pts = []
+    t0 = time.time()
+    ladder = [s for s in LADDER if s <= max_spp]
+    for target in ladder:
+        while state.samples < target:
+            state = r.trace_samples(state)
+        img = r.get_image(state)
+        ours = np.clip(np.asarray(rgb_to_srgb(img))[..., :3], 0, 1)
+        if gold is None:
+            gold = np.asarray(
+                gold_img.resize((ours.shape[1], ours.shape[0]), Image.BOX),
+                np.float32) / 255.0
+            mask = placeholder_mask(r, scene, ours.shape[1], ours.shape[0])
+        err = (ours - gold) ** 2
+        if mask is not None and mask.any() and not mask.all():
+            mse = float(err[~mask].mean())
+        else:
+            mse = float(err.mean())
+        pts.append({"spp": target, "mse": round(mse, 6),
+                    "wall_s": round(time.time() - t0, 1)})
+        print(f"{name:12s} spp {target:4d}  MSE {mse:8.5f}  "
+              f"({time.time()-t0:7.1f}s)", flush=True)
+    last = pts[-1]["mse"]
+    half = next(p["mse"] for p in reversed(pts)
+                if p["spp"] <= pts[-1]["spp"] // 2)
+    rel = abs(last - half) / max(last, 1e-9)
+    plateaued = rel < 0.05
+    print(f"{name:12s} plateau: {'YES' if plateaued else 'NO'} "
+          f"(last-octave rel change {rel*100:.1f}%)  final MSE {last:.5f} "
+          f"tol {tol}", flush=True)
+    return {"resolution": res, "tol": tol, "flags": flags, "points": pts,
+            "last_octave_rel_change": round(rel, 4), "plateaued": plateaued}
+
+
+def main():
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    names = args or ["classroom", "kitchen"]
+    out = {}
+    for n in names:
+        out[n] = curve(n)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {json_out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,7 @@ SCENES = {
     "bathroom1": (160, 48, 6, 0.040, "3 placeholder textures"),
     "bathroom2": (160, 16, 6, 0.045, "1 placeholder texture + 1 missing shape"),
     "kitchen": (160, 64, 8, 0.060, "1 placeholder texture; slow convergence (lights behind refractive glass); measured 0.042 @64spp"),
-    "ecosys": (160, 4, 4, 0.060, "2 missing shapes; low spp"),
+    "ecosys": (160, 16, 4, 0.050, "2 missing shapes"),
 }
 
 FAST = [
