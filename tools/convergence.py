@@ -88,11 +88,19 @@ def curve(name: str, max_spp: int = 512):
                 if p["spp"] <= pts[-1]["spp"] // 2)
     rel = abs(last - half) / max(last, 1e-9)
     plateaued = rel < 0.05
-    print(f"{name:12s} plateau: {'YES' if plateaued else 'NO'} "
-          f"(last-octave rel change {rel*100:.1f}%)  final MSE {last:.5f} "
-          f"tol {tol}", flush=True)
+    # A curve still FALLING while already under tol is demonstrated
+    # convergence TO the golden (the r2 worry was curves still *rising*
+    # toward the tolerance); "plateaued" alone would mislabel it.
+    mono = all(a["mse"] >= b["mse"] * 0.98 for a, b in zip(pts, pts[1:]))
+    converged = last < tol and (plateaued or (mono and last < half))
+    verdict = ("plateaued" if plateaued else
+               "converging-below-tol" if converged else "NOT-converged")
+    print(f"{name:12s} {verdict}  (last-octave rel change {rel*100:.1f}%)  "
+          f"final MSE {last:.5f}  tol {tol}", flush=True)
     return {"resolution": res, "tol": tol, "flags": flags, "points": pts,
-            "last_octave_rel_change": round(rel, 4), "plateaued": plateaued}
+            "last_octave_rel_change": round(rel, 4), "plateaued": plateaued,
+            "monotone_decreasing": mono, "final_under_tol": last < tol,
+            "verdict": verdict}
 
 
 def main():

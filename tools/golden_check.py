@@ -55,13 +55,13 @@ SCENES = {
     "coffee": (192, 32, 8, 0.015, ""),
     "staircase1": (160, 32, 8, 0.045, "3 placeholder textures"),
     "staircase2": (200, 32, 8, 0.030, ""),
-    "classroom": (192, 192, 8, 0.045, "slow convergence: sun-ball through windows; sRGB Jensen gap at finite spp (mean still rising 48->192 spp, clamp-independent)"),
+    "classroom": (192, 256, 8, 0.012, "converges monotonically to golden: MSE 0.0050 @256spp, 0.0028 @512 (CONVERGENCE_r03.json)"),
     "livingroom1": (192, 48, 8, 0.030, "1 placeholder texture; env_compat"),
     "livingroom2": (160, 24, 6, 0.040, "1 placeholder texture + 1 missing shape"),
     "livingroom3": (160, 16, 6, 0.045, "1 placeholder texture"),
     "bathroom1": (160, 48, 6, 0.040, "3 placeholder textures"),
     "bathroom2": (160, 16, 6, 0.045, "1 placeholder texture + 1 missing shape"),
-    "kitchen": (160, 64, 8, 0.060, "1 placeholder texture; slow convergence (lights behind refractive glass); measured 0.042 @64spp"),
+    "kitchen": (160, 256, 8, 0.012, "1 placeholder texture; converges monotonically to golden: MSE 0.0065 @256spp, 0.0044 @512 (CONVERGENCE_r03.json)"),
     "ecosys": (160, 16, 4, 0.050, "2 missing shapes"),
 }
 
