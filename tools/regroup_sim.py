@@ -90,11 +90,20 @@ def simulate(packed, C, sup, label):
     rows = bits[:n].reshape(n // LANES, LANES, C).any(axis=1)
     current_passes = rows.sum()
 
+    # cluster-granular regrouping: rows of 128 rays per CLUSTER; every
+    # pass is a pure MXU tri-test (no in-kernel cull, no serial scan).
+    # passes = sum_c ceil(rays_visiting_c / LANES)
+    per_cluster = bits.sum(axis=0)                  # [C]
+    cl_pairs = int(per_cluster.sum())
+    cl_rows = int(np.ceil(per_cluster / LANES).sum())
+
     print(f"[{label:8s}] lane-visits {lane_visits:6.1f}  "
           f"ray-super pairs {pairs/N:5.2f}/ray  "
           f"regroup passes {total_passes:8d} (rows {total_rows})  "
           f"current passes {current_passes:8d}  "
-          f"speedup x{current_passes/max(total_passes,1):.2f}", flush=True)
+          f"speedup x{current_passes/max(total_passes,1):.2f}  ||  "
+          f"cluster-rows {cl_rows} ({cl_pairs/N:.1f} pairs/ray, "
+          f"x{current_passes/max(cl_rows,1):.2f})", flush=True)
     return total_passes, current_passes
 
 

@@ -166,36 +166,51 @@ def analyze(npz: str, n_blocks: int):
     S = -(-C // SUPER)
     n = len(o) // BLOCK * BLOCK
 
+    # The visibility matrix is key-INDEPENDENT: a ray visits cluster c
+    # regardless of how rays are later grouped into rows/blocks. Compute
+    # it once, bit-packed [N, ceil(C/8)], then every sort key reduces to
+    # cheap row-gather + bitwise-or unions.
+    packed = np.zeros((len(o), (C + 7) // 8), np.uint8)
+    lane_ct = np.zeros(len(o), np.int64)
+    CH = 2048
+    for s in range(0, len(o), CH):
+        ob, db, tb = o[s:s+CH], d[s:s+CH], tcap[s:s+CH]
+        inv = 1.0 / np.where(db == 0.0, 1e-30, db)
+        t0 = (cbb[None, :, 0:3] - ob[:, None, :]) * inv[:, None, :]
+        t1 = (cbb[None, :, 3:6] - ob[:, None, :]) * inv[:, None, :]
+        enter = np.minimum(t0, t1).max(axis=2)
+        exit_ = np.maximum(t0, t1).min(axis=2)
+        vis = (enter <= np.minimum(exit_, tb[:, None]) * 1.00000024)
+        vis &= live[s:s+CH, None]
+        lane_ct[s:s+CH] = vis.sum(1)
+        packed[s:s+CH] = np.packbits(vis, axis=1)
+        if (s // CH) % 16 == 0:
+            print(f"pack {s}/{len(o)}", flush=True)
+    popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(1).astype(np.int64)
+    # supercluster membership: cluster c -> super c // SUPER
+    sup_of = np.arange(C) // SUPER
+
     for name in ("current", "oct_om21", "om24", "om18_oct_dm",
                  "cluster_oct", "6dmorton"):
         k = keys(name, o, d, t, lo, hi, src)
         # dead lanes to the tail (kernel behavior)
         k = np.where(live, k, np.uint64(1) << np.uint64(62))
         perm = np.argsort(k, kind="stable")
-        os_, ds_, ts_ = o[perm[:n]], d[perm[:n]], tcap[perm[:n]]
-        lv = live[perm[:n]]
         nb = min(n_blocks, n // BLOCK)
-        row_vis, blk_sup, lane_vis = [], [], []
-        for b in range(nb):
-            sl = slice(b * BLOCK, (b + 1) * BLOCK)
-            ob, db, tb, lb = os_[sl], ds_[sl], ts_[sl], lv[sl]
-            inv = 1.0 / np.where(db == 0.0, 1e-30, db)
-            t0 = (cbb[None, :, 0:3] - ob[:, None, :]) * inv[:, None, :]
-            t1 = (cbb[None, :, 3:6] - ob[:, None, :]) * inv[:, None, :]
-            enter = np.minimum(t0, t1).max(axis=2)
-            exit_ = np.maximum(t0, t1).min(axis=2)
-            vis = (enter <= np.minimum(exit_, tb[:, None]) * 1.00000024)
-            vis &= lb[:, None]
-            lane_vis.append(vis.sum(1).mean())
-            rows = vis.reshape(8, LANES, C).any(axis=1)  # [8, C]
-            row_vis.append(rows.sum(1).mean())
-            pad = S * SUPER - C
-            vp = np.pad(vis.any(axis=0), (0, pad))
-            blk_sup.append(vp.reshape(S, SUPER).any(axis=1).sum())
-        print(f"{name:12s}: lane-visits {np.mean(lane_vis):7.1f}  "
-              f"row-visits {np.mean(row_vis):7.1f}  "
-              f"blk-sups {np.mean(blk_sup):6.1f}  "
-              f"(x{np.mean(row_vis)/max(np.mean(lane_vis),1e-9):.1f} row amp)",
+        idx = perm[:nb * BLOCK]
+        p = packed[idx].reshape(nb, 8, LANES, -1)
+        rows = np.bitwise_or.reduce(p, axis=2)           # [nb, 8, C/8]
+        row_vis = popcnt[rows].sum(2).mean()
+        blocks = np.bitwise_or.reduce(rows, axis=1)      # [nb, C/8]
+        bvis = np.unpackbits(blocks, axis=1)[:, :C].astype(bool)
+        blk_sup = np.array([
+            np.unique(sup_of[bv]).size for bv in bvis]).mean()
+        lane_vis = lane_ct[idx].mean()
+        print(f"{name:12s}: lane-visits {lane_vis:7.1f}  "
+              f"row-visits {row_vis:7.1f}  "
+              f"blk-sups {blk_sup:6.1f}  "
+              f"(x{row_vis/max(lane_vis,1e-9):.1f} row amp)",
               flush=True)
 
 
