@@ -78,6 +78,7 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
             ))
     tb = r.config.inst_tables
     if tb is not None:
+        inst_extra = extra
         # two-level instancing: report device-table footprint vs what the
         # single-level flatten would have uploaded (VERDICT r1 item 2)
         inst_bytes = tb.tab.nbytes + tb.bbox.nbytes + tb.inst_rows.nbytes + tb.wi_bbox.nbytes
@@ -88,6 +89,7 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
                 shape_prims[inst.shape] = max(len(sh.quads), len(sh.triangles))
         flat_prims = sum(shape_prims.get(i.shape, 0) for i in scene.instances)
         extra = {
+            **inst_extra,
             "instanced": True,
             "device_tables_mb": round(inst_bytes / 1e6, 1),
             "flattened_prims": flat_prims,
@@ -118,6 +120,19 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
 def main() -> None:
     names = sys.argv[1:] or list(SCENES)
     out_path = os.path.join(REPO, "BENCH_HEAVY.json")
+    if len(names) > 1:
+        # One scene per subprocess: benching several scenes in one
+        # process polluted the third scene's measured batch (ecosys
+        # reported 0.6 ms/sample after kitchen+bathroom1 filled HBM;
+        # alone it reports its true ~8 s/sample). Each child rewrites
+        # its own key in BENCH_HEAVY.json.
+        import subprocess
+
+        for name in names:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name], check=True
+            )
+        return
     results = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
