@@ -78,14 +78,18 @@ def main() -> None:
     renderer = Renderer(scene, params)
     state = make_trace_state(scene, params)
 
-    # warmup (compile + first batches)
+    # warmup (compile + first batches). fence(), not block_until_ready:
+    # on axon the latter can return before the work runs (see
+    # utils/timing.fence).
+    from julia_raytracer_tpu.utils.timing import fence
+
     state = renderer.trace_samples(state)
-    state.image.block_until_ready()
+    fence(state.image)
 
     renderer.params.batch = bench_samples
     t0 = time.perf_counter()
     state = renderer.trace_samples(state)
-    state.image.block_until_ready()
+    fence(state.image)
     dt = time.perf_counter() - t0
 
     paths = state.n_pixels * bench_samples

@@ -14,7 +14,7 @@ import time
 from julia_raytracer_tpu.render.renderer import Params, Renderer, TraceState, make_trace_state
 from julia_raytracer_tpu.scene.loader import load_scene
 from julia_raytracer_tpu.utils.imgio import save_png
-from julia_raytracer_tpu.utils.timing import format_seconds
+from julia_raytracer_tpu.utils.timing import fence, format_seconds
 
 SAMPLERS = ("path", "naive")  # src/trace.jl:582
 
@@ -145,12 +145,12 @@ def main(argv=None) -> int:
 
             with jax.profiler.trace(a.trace_profile):
                 state = renderer.trace_samples(state)
-                state.image.block_until_ready()
+                fence(state.image)
             profiled = True
             print(f"profiler trace written to {a.trace_profile}")
         else:
             state = renderer.trace_samples(state)
-            state.image.block_until_ready()
+            fence(state.image)
         batch_i += 1
         now = time.monotonic()
         etc = (now - sampling_start) / max(state.samples, 1) * (

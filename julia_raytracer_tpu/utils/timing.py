@@ -1,6 +1,28 @@
-"""Wall-clock formatting for the progress/ETC UX (reference: src/utils.jl:10-32)."""
+"""Wall-clock formatting for the progress/ETC UX (reference: src/utils.jl:10-32),
+plus the device fence every timing site must use on the axon TPU platform."""
 
 from __future__ import annotations
+
+
+def fence(x):
+    """Force `x`'s producing computation to COMPLETE, not just enqueue.
+
+    On the experimental axon TPU platform, `jax.block_until_ready` can
+    return before the computation has run at all (measured: 2.7 ms
+    "blocked" vs 14.5 s real work forced by a 4-byte readback — the
+    dispatch is lazy and the ready-event is local). A one-element
+    device->host transfer is the only reliable fence: the platform must
+    materialize the buffer to serve any part of it. Costs one tunnel
+    round-trip (~27 ms measured), so timing loops should fence once per
+    measured region, not per op. Returns x unchanged."""
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(x)
+    for leaf in jax.tree.leaves(x):
+        np.asarray(jax.numpy.ravel(leaf)[:1])
+        break
+    return x
 
 
 def format_seconds(seconds: float) -> str:

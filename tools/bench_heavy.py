@@ -48,16 +48,18 @@ def bench(name: str, resolution: int, warm: int = 1, measured: int = 4) -> dict:
     r = Renderer(scene, params)
     host_prep = time.time() - t0
 
+    from julia_raytracer_tpu.utils.timing import fence
+
     state = make_trace_state(scene, params)
     t0 = time.time()
     state = r.trace_samples(state)  # warm batch: includes compile
-    jax.block_until_ready(state.image)
+    fence(state.image)
     compile_s = time.time() - t0
 
     r.params.batch = measured
     t0 = time.time()
     state = r.trace_samples(state)
-    jax.block_until_ready(state.image)
+    fence(state.image)
     dt = time.time() - t0
 
     ms_per_sample = dt / measured * 1e3

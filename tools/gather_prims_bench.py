@@ -13,17 +13,24 @@ from __future__ import annotations
 
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
 def timeit(fn, *args, n=10):
-    out = jax.block_until_ready(fn(*args))
+    from julia_raytracer_tpu.utils.timing import fence
+
+    out = fence(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     return (time.perf_counter() - t0) / n
 
 

@@ -76,9 +76,11 @@ def main():
     intersect = r.intersect
 
     def timed(name, f, *a):
-        out = jax.block_until_ready(f(*a))
+        from julia_raytracer_tpu.utils.timing import fence
+
+        out = fence(f(*a))
         t1 = time.time()
-        out = jax.block_until_ready(f(*a))
+        out = fence(f(*a))
         dt = time.time() - t1
         print(f"{name}: {dt*1e3:.1f} ms ({n/dt/1e6:.2f} Mrays/s)")
         return out

@@ -25,12 +25,13 @@ from julia_raytracer_tpu.utils import rng as rng_mod
 
 
 def timeit(fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    from julia_raytracer_tpu.utils.timing import fence
+
+    fence(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     return (time.perf_counter() - t0) / n
 
 

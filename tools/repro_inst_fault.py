@@ -48,7 +48,8 @@ r = Renderer(scene, params)
 state = make_trace_state(scene, params)
 t0 = time.time()
 state = r.trace_samples(state)
-jax.block_until_ready(state.image)
+from julia_raytracer_tpu.utils.timing import fence
+fence(state.image)
 dt = time.time() - t0
 import numpy as np
 # slice to the real pixel count: trace_samples pads the buffers to a
