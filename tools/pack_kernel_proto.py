@@ -13,7 +13,8 @@ The in-register compaction uses the one-hot matmul trick (rank = prefix
 sum via lower-triangular ones; P^T @ values does the cross-lane shuffle
 the VPU cannot), exactly as the real kernel will on the MXU.
 
-Run: python tools/pack_kernel_proto.py   (CPU, interpret mode)
+Run: python tools/pack_kernel_proto.py          (CPU, interpret mode)
+     python tools/pack_kernel_proto.py --tpu    (real Mosaic lowering)
 """
 
 from __future__ import annotations
@@ -22,7 +23,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+ON_TPU = "--tpu" in sys.argv
+if not ON_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -116,7 +119,7 @@ def make_pack(n_tiles: int, seg_cap: int):
                 jax.ShapeDtypeStruct((S, seg_cap, PLANES), jnp.float32),
                 jax.ShapeDtypeStruct((S, 1), jnp.int32),
             ],
-            interpret=True,
+            interpret=not ON_TPU,
         )(bits, rays)
 
     return pack
