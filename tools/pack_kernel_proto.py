@@ -45,82 +45,82 @@ def make_pack(n_tiles: int, seg_cap: int):
 
     def kernel(bits_ref, rays_ref, out_ref, cnt_ref, cur_ref, sem):
         t = pl.program_id(0)
+        s = pl.program_id(1)
 
-        @pl.when(t == 0)
+        @pl.when((t == 0) & (s == 0))
         def _():
-            cur_ref[:, :] = jnp.zeros((S, 1), jnp.int32)
+            for s0 in range(S):
+                cur_ref[s0] = 0
 
-        # one-hot matmul compaction operands, shared across supers
+        # one-hot matmul compaction operands
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
         lower = (lanes >= cols).astype(jnp.float32)     # L[i,j] = i>=j
 
-        def per_super(s, _):
-            m = bits_ref[s]                              # [TILE]
-            mf = m.astype(jnp.float32)
-            # rank[i] = exclusive prefix popcount = (L @ m)[i] - m[i].
-            # HIGHEST precision: DEFAULT runs bf16 passes on TPU and
-            # rounds one-hot payloads >= 257 (observed: id 257 -> 256);
-            # in the real Mosaic kernel this is the same split3/HIGHEST
-            # choice as the tri-test dots.
-            hp = jax.lax.Precision.HIGHEST
-            rank = jnp.dot(lower, mf, precision=hp) - mf  # [TILE]
-            cnt = jnp.sum(m.astype(jnp.int32))
-            # P[i, j] = lane i is the j-th set lane
-            P = (
-                (rank[:, None] == cols.astype(jnp.float32))
-                & (m[:, None] != 0)
-            ).astype(jnp.float32)                        # [TILE, TILE]
-            vals = rays_ref[:, :]                        # [TILE, PLANES]
-            packed = jnp.dot(P.T, vals, precision=hp)    # [TILE, PLANES]
-            base = cur_ref[s, 0]
-            # full-window write at dynamic offset; tail is garbage that
-            # the next tile's window overwrites
-            out_ref[s, pl.ds(base, TILE), :] = packed
-            cur_ref[s, 0] = base + cnt
-            return 0
+        m = bits_ref[0, pl.ds(s, 1), :][0]               # [TILE]
+        mf = m.astype(jnp.float32)
+        # rank[i] = exclusive prefix popcount = (L @ m)[i] - m[i].
+        # HIGHEST precision: DEFAULT runs bf16 passes on TPU and
+        # rounds one-hot payloads >= 257 (observed: id 257 -> 256).
+        hp = jax.lax.Precision.HIGHEST
+        rank = jnp.dot(lower, mf, precision=hp) - mf     # [TILE]
+        cnt = jnp.sum(m.astype(jnp.int32))
+        # P[i, j] = lane i is the j-th set lane
+        P = (
+            (rank[:, None] == cols.astype(jnp.float32))
+            & (m[:, None] != 0)
+        ).astype(jnp.float32)                            # [TILE, TILE]
+        vals = rays_ref[0]                               # [TILE, PLANES]
+        packed = jnp.dot(P.T, vals, precision=hp)        # [TILE, PLANES]
+        base = cur_ref[s]
+        # full-window write at ONE dynamic row offset into the flattened
+        # [S*seg_cap, PLANES] output; tail is garbage that the next
+        # tile's window overwrites (cursor advances by popcount only)
+        out_ref[pl.ds(s * seg_cap + base, TILE), :] = packed
+        cur_ref[s] = base + cnt
 
-        jax.lax.fori_loop(0, S, per_super, 0)
-
-        @pl.when(t == n_tiles - 1)
+        @pl.when((t == n_tiles - 1) & (s == S - 1))
         def _():
-            cnt_ref[:, :] = cur_ref[:, :]
+            for s0 in range(S):
+                cnt_ref[s0, 0] = cur_ref[s0]
 
     def pack(bits, rays):
         """bits: [n_tiles, S, TILE] int32; rays: [n_tiles, TILE, PLANES]."""
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(n_tiles,),
+            # tile-major order (t outer, s inner) is what makes the
+            # garbage-tail overwrite sound: each super's cursor only
+            # advances, and the next tile's window overwrites the tail
+            grid=(n_tiles, S),
             in_specs=[
-                pl.BlockSpec((1, S, TILE), lambda t: (t, 0, 0),
+                pl.BlockSpec((1, S, TILE), lambda t, s: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE, PLANES), lambda t: (t, 0, 0),
+                pl.BlockSpec((1, TILE, PLANES), lambda t, s: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 # whole output resident: every step writes its own
                 # dynamic windows (validates RMW-free full-window writes)
-                pl.BlockSpec((S, seg_cap, PLANES), lambda t: (0, 0, 0),
+                pl.BlockSpec((S * seg_cap, PLANES), lambda t, s: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((S, 1), lambda t: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, 1), lambda t, s: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((S, 1), jnp.int32),
+                pltpu.SMEM((S,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
         )
-        kern = lambda b, r, o, c, cur, sem: kernel(
-            b[0], r[0], o, c, cur, sem)
-        return pl.pallas_call(
-            kern,
+        out, cnt = pl.pallas_call(
+            kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((S, seg_cap, PLANES), jnp.float32),
+                jax.ShapeDtypeStruct((S * seg_cap, PLANES), jnp.float32),
                 jax.ShapeDtypeStruct((S, 1), jnp.int32),
             ],
             interpret=not ON_TPU,
         )(bits, rays)
+        return out.reshape(S, seg_cap, PLANES), cnt
 
     return pack
 
