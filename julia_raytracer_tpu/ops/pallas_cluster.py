@@ -1288,8 +1288,30 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
         j = jnp.minimum(sc_ids, jnp.maximum(cnt - 1, 0)[:, None])
         return jnp.take_along_axis(order, j, axis=1), cnt  # [nblocks, S]
 
-    def _intersect_impl(ro, rd, tmin, tmax, tables):
+    def impl_chunk(ccomp, nb, tables):
+        """One chunk of nb ray blocks -> (outf [nb,9,ROWS,LANES],
+        outi [nb,2,ROWS,LANES]). ccomp: the 8 component arrays
+        [nb*ROWS, LANES]. Exposed (intersect.impl_chunk) so the regroup
+        intersector can lax.cond into this kernel as its overflow
+        fallback without retracing the whole dispatch loop."""
         tab_t, bbox_t, sbbox_t = tables
+        work, cnt = precull(
+            ccomp[0:3], ccomp[3:6], ccomp[6], ccomp[7], nb, sbbox_t,
+        )
+        rays_chunk = (
+            jnp.stack(ccomp, axis=0)
+            .reshape(8, nb, ROWS, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(nb * 8 * ROWS, LANES)
+        )
+        if flat_grid:
+            of, oi = chunk_call_flat(rays_chunk, nb, work, cnt,
+                                     bbox_t, tab_t)
+        else:
+            of, oi = chunk_call(rays_chunk, nb, work, bbox_t, tab_t)
+        return of.reshape(nb, 9, ROWS, LANES), oi.reshape(nb, 2, ROWS, LANES)
+
+    def _intersect_impl(ro, rd, tmin, tmax, tables):
         n = ro.shape[0]
         n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
         pad = n_pad - n
@@ -1303,13 +1325,6 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
             prep(tmin), prep(tmax),
         ]
-        # pack the 8 components per block: [nblocks*8*ROWS, LANES]
-        packed = (
-            jnp.stack(comps, axis=0)
-            .reshape(8, nblocks, ROWS, LANES)
-            .transpose(1, 0, 2, 3)
-            .reshape(nblocks * 8 * ROWS, LANES)
-        )
         parts_f, parts_i = [], []
         # scale the chunk inversely with S so the [chunk_rays, S]
         # precull temporaries stay ~180 MB regardless of scene size
@@ -1323,19 +1338,9 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
             # ~180 MB instead of materializing the whole dispatch's
             # [1M, S] at once (a ~250 ms HBM-pressure cliff at 1M rays)
             rsel = slice(blo * ROWS, bhi * ROWS)
-            work, cnt = precull(
-                [c[rsel] for c in comps[0:3]],
-                [c[rsel] for c in comps[3:6]],
-                comps[6][rsel], comps[7][rsel], nb, sbbox_t,
-            )
-            rays_chunk = packed[blo * 8 * ROWS : bhi * 8 * ROWS]
-            if flat_grid:
-                of, oi = chunk_call_flat(rays_chunk, nb, work, cnt,
-                                         bbox_t, tab_t)
-            else:
-                of, oi = chunk_call(rays_chunk, nb, work, bbox_t, tab_t)
-            parts_f.append(of.reshape(nb, 9, ROWS, LANES))
-            parts_i.append(oi.reshape(nb, 2, ROWS, LANES))
+            of, oi = impl_chunk([c[rsel] for c in comps], nb, tables)
+            parts_f.append(of)
+            parts_i.append(oi)
         outf = parts_f[0] if len(parts_f) == 1 else jnp.concatenate(parts_f, axis=0)
         outi = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i, axis=0)
 
@@ -1356,6 +1361,7 @@ def make_cluster_intersect_worklist(prim_verts_np: np.ndarray, prim_instance=Non
 
     intersect.tables = default_tables
     intersect.wants_tables = True
+    intersect.impl_chunk = impl_chunk
     return intersect
 
 
