@@ -74,8 +74,8 @@ N_PLANES = 9               # ox oy oz dx dy dz tmin tmax one
 N_CHUNK_ROWS = 40          # 9 planes x 4 byte-chunks, padded to sublane 8
 
 # max visible superclusters per ray the inverse map can hold (measured
-# max on kitchen bounce dumps: 37 at 512px); overflow -> worklist fallback
-DEF_W = int(os.environ.get("JRT_RG_W") or 48)
+# max on kitchen bounce dumps: 45 at 512px); overflow -> worklist fallback
+DEF_W = int(os.environ.get("JRT_RG_W") or 64)
 # static packed capacity in 128-slot blocks (incl. slack); overflow ->
 # worklist fallback. 24576 blocks = 3.1M slots ~ 100 MB of packed rays.
 DEF_BLK_CAP = int(os.environ.get("JRT_RG_BLKCAP") or 24576)
@@ -127,34 +127,43 @@ def _make_pack_kernel(S: int, W: int, blk_cap: int):
             resid = resid_ref[pl.ds(s, 1)][0]        # [8, LANES]
 
             shift = jnp.int32(1 << 8)
+            # only blocks [0, idx_last] receive any lane (cnt avg ~64 of
+            # a 1152-slot window): skip the P build / dot / recombine for
+            # the rest — their stale buf contents land in slack or get
+            # overwritten by the next window before any row consumes them
+            idx_last = (off + cnt - 1) // LANES
+            if os.environ.get("JRT_RG_NOGATE") == "1":
+                idx_last = idx_last * 0 + WIN
             for b in range(WIN):
-                # P_b[i, l] = ray-lane i lands at window slot b*128 + l
-                pb = jnp.where(
-                    (pos[:, None] == lane2 + jnp.float32(b * LANES)) & mcol,
-                    1.0, 0.0,
-                )                                     # [TILE, LANES]
-                ck = jax.lax.dot_general(
-                    vals, pb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                     # [40, LANES]
-                rows = []
-                for p in range(N_PLANES):
-                    u = ck[4 * p + 0, :].astype(jnp.int32)
-                    u = u + ck[4 * p + 1, :].astype(jnp.int32) * shift
-                    u = u + ck[4 * p + 2, :].astype(jnp.int32) * (shift * shift)
-                    # top byte: int32 multiply wraps, giving the right bits
-                    u = u + ck[4 * p + 3, :].astype(jnp.int32) * jnp.int32(1 << 24)
-                    rows.append(jax.lax.bitcast_convert_type(u, jnp.float32))
-                # plane 8 ("one") marks real slots; fold validity into
-                # tmax so empty lanes can never pass the tri-test cull
-                tmax_row = jnp.where(rows[8] > 0.5, rows[7], -1.0)
-                blk = jnp.concatenate(
-                    [r[None, :] for r in rows[:7]] + [tmax_row[None, :]],
-                    axis=0,
-                )                                     # [8, LANES]
-                if b == 0:
-                    blk = jnp.where(lanemask, resid, blk)
-                buf[b, :, :] = blk
+                @pl.when(idx_last >= b)
+                def _(b=b):
+                    # P_b[i, l] = ray-lane i lands at window slot b*128+l
+                    pb = jnp.where(
+                        (pos[:, None] == lane2 + jnp.float32(b * LANES)) & mcol,
+                        1.0, 0.0,
+                    )                                 # [TILE, LANES]
+                    ck = jax.lax.dot_general(
+                        vals, pb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                 # [40, LANES]
+                    rows = []
+                    for p in range(N_PLANES):
+                        u = ck[4 * p + 0, :].astype(jnp.int32)
+                        u = u + ck[4 * p + 1, :].astype(jnp.int32) * shift
+                        u = u + ck[4 * p + 2, :].astype(jnp.int32) * (shift * shift)
+                        # top byte: int32 multiply wraps -> right bits
+                        u = u + ck[4 * p + 3, :].astype(jnp.int32) * jnp.int32(1 << 24)
+                        rows.append(jax.lax.bitcast_convert_type(u, jnp.float32))
+                    # plane 8 ("one") marks real slots; fold validity
+                    # into tmax so empty lanes can never pass the cull
+                    tmax_row = jnp.where(rows[8] > 0.5, rows[7], -1.0)
+                    blk = jnp.concatenate(
+                        [r[None, :] for r in rows[:7]] + [tmax_row[None, :]],
+                        axis=0,
+                    )                                 # [8, LANES]
+                    if b == 0:
+                        blk = jnp.where(lanemask, resid, blk)
+                    buf[b, :, :] = blk
 
             cp = pltpu.make_async_copy(
                 buf, packed_ref.at[pl.ds(base_blk, WIN), :, :], sem
@@ -174,11 +183,13 @@ def _make_pack_kernel(S: int, W: int, blk_cap: int):
 
             cp.wait()
 
-            # residual: the partial block at the new fill point
+            # residual: the partial block at the new fill point. Selected
+            # with where (NOT multiply-accumulate): untouched buf blocks
+            # hold stale/uninitialized data and 0.0 * NaN would poison it
             idx = (cur + cnt) // LANES - base_blk     # 0..WIN-1
             acc = jnp.zeros((8, LANES), jnp.float32)
             for b in range(WIN):
-                acc = acc + jnp.where(idx == b, 1.0, 0.0) * buf[b, :, :]
+                acc = jnp.where(idx == b, buf[b, :, :], acc)
             resid_ref[pl.ds(s, 1)] = acc[None]
             cur_ref[s] = cur + cnt
 
@@ -302,11 +313,35 @@ def _make_tritest_kernel(sup: int, q: int):
                 )
 
             def group(g, carry):
+                def do(carry):
+                    # re-cull this group's clusters against the RUNNING
+                    # best t: the sweep is Morton-ordered, so once near
+                    # geometry is hit, later clusters mostly fail here
+                    # and their MXU passes are skipped entirely
+                    best_t = carry[0]                 # [1, 128]
+                    bm8 = bbox_ref[0, pl.ds(g * G8, G8), :]
+                    en8 = None
+                    ex8 = None
+                    for ax, (o, di) in enumerate(
+                        ((ox, idx_), (oy, idy_), (oz, idz_))
+                    ):
+                        t0 = (bm8[:, ax:ax + 1] - o) * di
+                        t1 = (bm8[:, 3 + ax:4 + ax] - o) * di
+                        lo = jnp.minimum(t0, t1)
+                        hi = jnp.maximum(t0, t1)
+                        en8 = lo if en8 is None else jnp.maximum(en8, lo)
+                        ex8 = hi if ex8 is None else jnp.minimum(ex8, hi)
+                    en8 = jnp.maximum(en8, tmin)
+                    ex8 = jnp.minimum(ex8, jnp.minimum(tmax, best_t))
+                    hit8 = en8 <= ex8 * jnp.float32(1.00000024)
+                    if os.environ.get("JRT_RG_NORECULL") != "1":
+                        cany_ref[pl.ds(g * G8, G8), :] = jnp.sum(
+                            hit8.astype(jnp.int32), axis=1, keepdims=True
+                        )
+                    return jax.lax.fori_loop(g * G8, g * G8 + G8, inner, carry)
+
                 return jax.lax.cond(
-                    gany_ref[g, 0] != 0,
-                    lambda c: jax.lax.fori_loop(g * G8, g * G8 + G8, inner, c),
-                    lambda c: c,
-                    carry,
+                    gany_ref[g, 0] != 0, do, lambda c: c, carry
                 )
 
             carry = (
@@ -429,10 +464,12 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             interpret=interpret,
         )(seg_base, delta, lower_t, bits_t, rays_t)
 
-    def tri_call(row_super, row_valid, row_blk, packed, bbox_t, tab_t):
+    def tri_call(row_super, row_valid, row_blk, packed, bbox_t, tab_t,
+                 cap=None):
+        cap = rows_cap if cap is None else cap
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(rows_cap,),
+            grid=(cap,),
             in_specs=[
                 pl.BlockSpec((1, 8, LANES), lambda j, rs, rv, rb: (rb[j], 0, 0),
                              memory_space=pltpu.VMEM),
@@ -457,31 +494,45 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             tri_kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((rows_cap, 8, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((rows_cap, 8, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((cap, 8, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((cap, 8, LANES), jnp.int32),
             ],
             interpret=interpret,
-        )(row_super, row_valid, row_blk, packed, bbox_t, tab_t)
+        )(row_super[:cap], row_valid[:cap], row_blk[:cap],
+          packed, bbox_t, tab_t)
 
     def _count_stage(comps, nblocks, sbbox_t):
         """Slab rays vs supercluster boxes -> everything the pack and
-        tri-test dispatches need. comps: 8 [nblocks*ROWS, LANES]."""
+        tri-test dispatches need. comps: 8 [nblocks*ROWS, LANES].
+
+        The bit matrix is generated DIRECTLY in the pack kernel's
+        [tiles, S, 1024] layout (rays on lanes): a [rays, S] layout
+        would need a lane<->sublane transpose of ~100 MB, which measured
+        ~45 ms fused with the reductions."""
         n_tiles = nblocks
-        o = jnp.stack(comps[0:3], axis=-1).reshape(-1, 1, 3)
-        d = jnp.stack(comps[3:6], axis=-1).reshape(-1, 1, 3)
-        tn = comps[6].reshape(-1, 1)
-        tx = comps[7].reshape(-1, 1)
-        di = 1.0 / jnp.where(d == 0.0, 1e-30, d)
-        t0 = (sbbox_t[None, :, 0:3] - o) * di
-        t1 = (sbbox_t[None, :, 3:6] - o) * di
-        enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # [tiles, 1, TILE] per component vs [1, S, 1] per box bound
+        o3 = [c.reshape(n_tiles, 1, TILE) for c in comps[0:3]]
+        d3 = [c.reshape(n_tiles, 1, TILE) for c in comps[3:6]]
+        tn = comps[6].reshape(n_tiles, 1, TILE)
+        tx = comps[7].reshape(n_tiles, 1, TILE)
+        enter = None
+        exit_ = None
+        for ax in range(3):
+            di = 1.0 / jnp.where(d3[ax] == 0.0, 1e-30, d3[ax])
+            b_lo = sbbox_t[None, :, ax, None]
+            b_hi = sbbox_t[None, :, 3 + ax, None]
+            t0 = (b_lo - o3[ax]) * di
+            t1 = (b_hi - o3[ax]) * di
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            enter = lo if enter is None else jnp.maximum(enter, lo)
+            exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
         enter = jnp.maximum(enter, tn)
         exit_ = jnp.minimum(exit_, tx)
-        bits = enter <= exit_ * jnp.float32(1.00000024)     # [rays, S]
+        bits = enter <= exit_ * jnp.float32(1.00000024)  # [tiles, S, TILE]
 
-        per_ray = jnp.sum(bits, axis=1)                     # [rays]
-        cnt_s = jnp.sum(bits.astype(jnp.int32), axis=0)     # [S]
+        per_ray = jnp.sum(bits, axis=1).reshape(-1)         # [rays]
+        cnt_s = jnp.sum(bits.astype(jnp.int32), axis=(0, 2))  # [S]
         nblk_s = (cnt_s + LANES - 1) // LANES
         row_start = jnp.cumsum(nblk_s) - nblk_s             # exclusive
         total_rows = row_start[-1] + nblk_s[-1]
@@ -498,43 +549,43 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
         row_blk = segblk[row_super] + (j - row_start[row_super])
         row_blk = jnp.clip(row_blk, 0, blk_cap - 1).astype(jnp.int32)
 
-        bits_t = (
-            bits.reshape(n_tiles, TILE, S)
-            .transpose(0, 2, 1)
-            .astype(jnp.float32)
-        )
+        bits_t = bits.astype(jnp.float32)
         overflow = (
             (jnp.max(per_ray) > W)
             | (total_rows > rows_cap)
             | (total_blk > blk_cap)
         )
         return (bits_t, seg_base, delta, row_super, row_valid, row_blk,
-                overflow)
+                overflow, total_rows)
 
     def _chunk_planes(comps):
-        """8 ray components + ones -> 4x8-bit chunk rows [tiles, 40, TILE]."""
+        """8 ray components + ones -> 4x8-bit chunk rows [tiles, 40, TILE].
+
+        Plane-major construction keeps rays on the lane dim throughout
+        (the final transpose moves only leading dims — no lane shuffle)."""
         planes = list(comps) + [jnp.ones_like(comps[0])]
-        v = jnp.stack([p.reshape(-1) for p in planes], axis=-1)  # [rays, 9]
-        u = jax.lax.bitcast_convert_type(v, jnp.int32)
+        v = jnp.stack([p.reshape(-1, TILE) for p in planes], axis=0)
+        u = jax.lax.bitcast_convert_type(v, jnp.int32)   # [9, tiles, TILE]
         sh = jnp.asarray([0, 8, 16, 24], jnp.int32)
         ck = jax.lax.shift_right_logical(
-            u[:, :, None], sh[None, None, :]
-        ) & jnp.int32(255)                                   # [rays, 9, 4]
-        ck = ck.reshape(-1, N_PLANES * 4).astype(jnp.float32)
-        ck = jnp.pad(ck, ((0, 0), (0, N_CHUNK_ROWS - N_PLANES * 4)))
-        return ck.reshape(-1, TILE, N_CHUNK_ROWS).transpose(0, 2, 1)
+            u[:, None], sh[None, :, None, None]
+        ) & jnp.int32(255)                               # [9, 4, tiles, TILE]
+        ck = ck.reshape(N_PLANES * 4, -1, TILE).astype(jnp.float32)
+        ck = jnp.pad(ck, ((0, N_CHUNK_ROWS - N_PLANES * 4), (0, 0), (0, 0)))
+        return ck.transpose(1, 0, 2)                     # [tiles, 40, TILE]
+
+    # power-of-two ladder of static tri-test grid sizes: the smallest cap
+    # holding total_rows runs (dead tail steps still cost output DMAs)
+    row_caps = [c for c in (2048, 4096, 8192, 16384) if c < rows_cap]
+    row_caps.append(rows_cap)
 
     def _regroup_chunk(comps, nb, tab_t, bbox_t, sbbox_t, lower_t):
         (bits_t, seg_base, delta, row_super, row_valid, row_blk,
-         overflow) = _count_stage(comps, nb, sbbox_t)
+         overflow, total_rows) = _count_stage(comps, nb, sbbox_t)
         rays_t = _chunk_planes(comps)
 
-        def regroup(_):
-            packed, inv, wcnt = pack_call(bits_t, rays_t, seg_base, delta,
-                                          nb, lower_t)
-            outf, outi = tri_call(row_super, row_valid, row_blk, packed,
-                                  bbox_t, tab_t)
-            # merge: per-ray argmin over its W slots
+        def merge(outf, outi, inv, wcnt):
+            """Per-ray argmin over its W slots -> packed chunk outputs."""
             inv2 = inv.reshape(-1, W)                       # [rays, W]
             wc = wcnt.reshape(-1)                           # [rays]
             valid = jax.lax.broadcasted_iota(jnp.int32, inv2.shape, 1) < wc[:, None]
@@ -563,6 +614,26 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
                 2, nb, ROWS, LANES
             ).transpose(1, 0, 2, 3)
             return outf9, outi2
+
+        def regroup(_):
+            packed, inv, wcnt = pack_call(bits_t, rays_t, seg_base, delta,
+                                          nb, lower_t)
+
+            def branch(cap):
+                def run(_):
+                    outf, outi = tri_call(row_super, row_valid, row_blk,
+                                          packed, bbox_t, tab_t, cap=cap)
+                    return merge(outf, outi, inv, wcnt)
+                return run
+
+            idx = jnp.searchsorted(
+                jnp.asarray(row_caps, jnp.int32), total_rows
+            )
+            return jax.lax.switch(
+                jnp.minimum(idx, len(row_caps) - 1),
+                [branch(c) for c in row_caps],
+                None,
+            )
 
         def fb(_):
             h = fallback.impl_chunk(comps, nb, (tab_t, bbox_t, sbbox_t))
@@ -615,6 +686,60 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
         return jitted(ro, rd, tmin, tmax,
                       default_tables if tables is None else tables)
 
+    def debug_profile(ro, rd, tmin, tmax, iters=3):
+        """Per-stage fenced timings for ONE chunk (diagnostics only)."""
+        import time as _time
+
+        from julia_raytracer_tpu.utils.timing import fence
+
+        tab_t, bbox_t, sbbox_t, lower_t = default_tables
+        n = ro.shape[0]
+        nb = min(-(-n // BLOCK_RAYS), RG_CHUNK_BLOCKS)
+        n_use = nb * BLOCK_RAYS
+        if n < n_use:
+            raise ValueError("debug_profile wants >= one full chunk")
+
+        def prep(x, fill=0.0):
+            return x[:n_use].reshape(-1, LANES)
+
+        comps = [
+            prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+            prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+            prep(tmin), prep(tmax),
+        ]
+        count_j = jax.jit(lambda c: _count_stage(c, nb, sbbox_t) + (
+            _chunk_planes(c),))
+        pack_j = jax.jit(
+            lambda bt, rt, sb, dl: pack_call(bt, rt, sb, dl, nb, lower_t))
+        tri_j = jax.jit(
+            lambda rs, rv, rb, pk: tri_call(rs, rv, rb, pk, bbox_t, tab_t))
+
+        def timed(name, fn, *args):
+            out = fence(fn(*args))
+            ts = []
+            for _ in range(iters):
+                t0 = _time.perf_counter()
+                fence(fn(*args))
+                ts.append(_time.perf_counter() - t0)
+            print(f"  {name}: {sorted(ts)[len(ts)//2]*1e3:.1f} ms")
+            return out
+
+        cnt_out = timed("count+chunk", count_j, comps)
+        (bits_t, seg_base, delta, row_super, row_valid, row_blk,
+         overflow, total_rows, rays_t) = cnt_out
+        print(f"  overflow={bool(overflow)} rows={int(total_rows)}"
+              f"/{rows_cap}")
+        pk_out = timed("pack", pack_j, bits_t, rays_t, seg_base, delta)
+        packed, inv, wcnt = pk_out
+        timed("tri-test", tri_j, row_super, row_valid, row_blk, packed)
+        print(f"  max supers/ray: {int(jnp.max(wcnt))} (W={W})")
+
     intersect.tables = default_tables
     intersect.wants_tables = True
+    intersect.debug_profile = debug_profile
+    # internals exposed for diagnostics (tools/ab_regroup.py bisection)
+    intersect._internals = dict(
+        count=_count_stage, chunk=_chunk_planes, pack=pack_call,
+        tri=tri_call, W=W, rows_cap=rows_cap, blk_cap=blk_cap,
+    )
     return intersect

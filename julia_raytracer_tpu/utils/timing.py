@@ -20,8 +20,12 @@ def fence(x):
 
     jax.block_until_ready(x)
     for leaf in jax.tree.leaves(x):
-        np.asarray(jax.numpy.ravel(leaf)[:1])
-        break
+        # one element from EVERY leaf: different leaves may come from
+        # different dispatches, and a local ready-event proves nothing
+        # about the others. Indexed directly (no ravel: a full-buffer
+        # ravel dispatches an extra whole-array copy inside the
+        # measured region).
+        np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
     return x
 
 
