@@ -13,9 +13,10 @@ scatter anywhere — those were measured at 93 ms / 6-14 s on the target
 shapes, PERF_r03.md):
 
   1. count (XLA): slab-test rays vs supercluster bboxes -> bit matrix
-     (transposed [tiles, S, 1024] layout for the pack kernel), per-super
-     counts, per-super segment bases (+8-block slack), per-ray counts
-     (W-overflow guard), and the row->super / row->block maps.
+     (generated directly in the pack kernel's [tiles, S, 8, 128]
+     layout), per-super counts, per-super segment bases (+8-block
+     slack), per-(tile, super) cursor bases, and group->super /
+     group->block maps for the tri-test.
   2. pack (Pallas, grid (n_tiles, S) t-major): per (tile, super) step,
      compact the tile's rays whose bit is set using the one-hot-matmul
      trick (rank = L @ m via the MXU; selection P_b per window block),
@@ -23,20 +24,23 @@ shapes, PERF_r03.md):
      super's running cursor (SMEM). Bit-exactness: payloads ride as
      4x8-bit integer chunk planes (exact under single-pass bf16 dots)
      and are recombined to f32 in-kernel. A per-super VMEM residual
-     carries the partial last block so packing is slot-tight. The
-     inverse map inv[ray, w] = slot-row id accumulates in a per-tile
-     VMEM-resident output block.
+     carries the partial last block so packing is slot-tight.
   3. tri-test (Pallas, grid (rows,)): each step is one 128-slot row with
      ONE super: cull its 128 cluster boxes, sweep live clusters with the
      same split3 MXU tri-test as the worklist kernel, emit per-slot best
      hits. Consecutive rows share a super, so the Mosaic pipeline skips
      repeated table DMAs — the whole table streams at most once.
-  4. merge (XLA): gather each ray's W slot t's via the inverse map,
-     argmin, gather the winning slot's planes -> Hit.
+  4. unpack (Pallas, grid (n_tiles, S)): re-derive each pair's pack
+     permutation from the bits, DMA the tri-test result window at the
+     pair's precomputed cursor base, one-hot-multiply it back into
+     per-ray lanes and min-merge (t, tri) per tile — no inverse map, no
+     random gathers (an XLA [rays, W] gather merge measured ~67 ms).
+  5. attribute recompute (XLA): the winner's u/v/normal/instance from
+     its triangle transform row (one [rays, 16] gather) -> Hit.
 
-Safety: rays with more than W visible superclusters or chunks whose
-packed size exceeds the static capacity fall back to the worklist kernel
-via lax.cond (the count stage computes the predicate before any packing).
+Safety: chunks whose packed size exceeds the static capacity fall back
+to the worklist kernel via lax.cond (the count stage computes the
+predicate before any packing).
 
 Replaces the reference's innermost hot loop (src/bvh.jl:306-371) for
 heavy scenes; the worklist kernel remains the fallback and A/B baseline.
@@ -44,7 +48,6 @@ heavy scenes; the worklist kernel remains the fallback and A/B baseline.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -62,7 +65,6 @@ from julia_raytracer_tpu.ops.pallas_cluster import (
     WL_SUPER,
     _load_tables,
     _make_tri_dot,
-    _nsel_dot,
     _wl_super_bbox,
     make_cluster_intersect_worklist,
 )
@@ -73,58 +75,66 @@ SLACK = WIN - 1            # per-super segment slack blocks (cursor overhang)
 N_PLANES = 9               # ox oy oz dx dy dz tmin tmax one
 N_CHUNK_ROWS = 40          # 9 planes x 4 byte-chunks, padded to sublane 8
 
-# max visible superclusters per ray the inverse map can hold (measured
-# max on kitchen bounce dumps: 45 at 512px); overflow -> worklist fallback
-DEF_W = int(os.environ.get("JRT_RG_W") or 64)
 # static packed capacity in 128-slot blocks (incl. slack); overflow ->
 # worklist fallback. 24576 blocks = 3.1M slots ~ 100 MB of packed rays.
 DEF_BLK_CAP = int(os.environ.get("JRT_RG_BLKCAP") or 24576)
-# ray blocks per chunk: bounds the count-stage [rays, S] transient and
-# the inverse-map footprint
+# ray blocks per chunk: bounds the count-stage transients
 RG_CHUNK_BLOCKS = 144
 
 
-def _make_pack_kernel(S: int, W: int, blk_cap: int):
-    """Pack kernel: grid (n_tiles, S), t-major. See module docstring."""
+def _make_pack_kernel(S: int, blk_cap: int):
+    """Pack kernel: grid (n_tiles, S), t-major. See module docstring.
 
-    def kernel(sb_ref, dl_ref, lt_ref, bits_ref, rays_ref,
-               packed_ref, inv_ref, wcnt_ref,
-               buf, sem, cur_ref, w_ref, resid_ref):
+    All per-lane bookkeeping runs in [8, 128] (sublane, lane) layout —
+    a flat [1024]-lane layout forced the rank to a [1024,1024] @ [1024]
+    matmul (64 MXU passes per live pair, ~80% of the kernel's MXU).
+    Two-level rank instead: an exclusive in-row prefix via ONE
+    [8,128] @ [128,128] pass plus an [8,8] row-offset pass."""
+
+    def kernel(sb_ref, lt_ref, l8_ref, bits_ref, rays_ref,
+               packed_ref,
+               buf, sem, cur_ref, resid_ref):
         t = pl.program_id(0)
         s = pl.program_id(1)
-
-        @pl.when(s == 0)
-        def _():
-            w_ref[0, :] = jnp.zeros((TILE,), jnp.int32)
-            inv_ref[0, :, :] = jnp.zeros((TILE, W), jnp.int32)
 
         @pl.when(t == 0)
         def _():
             cur_ref[s] = sb_ref[s]
             resid_ref[pl.ds(s, 1)] = jnp.zeros((1, 8, LANES), jnp.float32)
 
-        m = bits_ref[0, pl.ds(s, 1), :][0]          # [TILE] f32 0/1
-        cnt = jnp.sum(m).astype(jnp.int32)
+        m2 = bits_ref[0, 0]                         # [8, 128] f32 0/1
+        cnt = jnp.sum(m2).astype(jnp.int32)
 
         @pl.when(cnt > 0)
         def _():
-            # rank[i] = exclusive prefix popcount. 0/1 inputs are exact
-            # under single-pass bf16 (products exact, f32 accumulate).
-            rank = jnp.dot(lt_ref[:, :], m) - m      # [TILE] f32
+            # two-level exclusive rank: in-row strict-lower prefix (one
+            # [8,128]@[128,128] pass; 0/1 inputs are exact under
+            # single-pass bf16) + exclusive row offsets ([8,8] pass)
+            hp = jnp.float32
+            rank_in = jax.lax.dot_general(
+                m2, lt_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=hp,
+            )                                        # [8, 128]
+            rt = jnp.sum(m2, axis=1, keepdims=True)  # [8, 1]
+            ro = jax.lax.dot_general(
+                l8_ref[:, :], rt, (((1,), (0,)), ((), ())),
+                preferred_element_type=hp,
+            )                                        # [8, 1] exclusive
+            rank2 = rank_in + ro                     # [8, 128]
             cur = cur_ref[s]
             base_blk = cur // LANES
             off = cur - base_blk * LANES
-            pos = rank + off.astype(jnp.float32)     # [TILE], < TILE+LANES
+            pos3 = (rank2 + off.astype(jnp.float32))[:, :, None]  # [8,128,1]
 
-            lane2 = jax.lax.broadcasted_iota(
-                jnp.int32, (TILE, LANES), 1
-            ).astype(jnp.float32)
-            mcol = m[:, None] > 0.0
+            m3 = m2[:, :, None] > 0.0                # [8, 128, 1]
             vals = rays_ref[0]                       # [40, TILE] chunk rows
             lanemask = (
                 jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1) < off
             )
             resid = resid_ref[pl.ds(s, 1)][0]        # [8, LANES]
+            lane3 = jax.lax.broadcasted_iota(
+                jnp.int32, (8, LANES, LANES), 2
+            ).astype(jnp.float32)
 
             shift = jnp.int32(1 << 8)
             # only blocks [0, idx_last] receive any lane (cnt avg ~64 of
@@ -137,11 +147,14 @@ def _make_pack_kernel(S: int, W: int, blk_cap: int):
             for b in range(WIN):
                 @pl.when(idx_last >= b)
                 def _(b=b):
-                    # P_b[i, l] = ray-lane i lands at window slot b*128+l
+                    # P[i, l] = ray-lane i lands at window slot b*128+l
+                    # (built in [8,128,128], reshaped to the [1024,128]
+                    # contraction layout — a major-dims merge, no lane
+                    # shuffle)
                     pb = jnp.where(
-                        (pos[:, None] == lane2 + jnp.float32(b * LANES)) & mcol,
+                        (pos3 == lane3 + jnp.float32(b * LANES)) & m3,
                         1.0, 0.0,
-                    )                                 # [TILE, LANES]
+                    ).reshape(TILE, LANES)
                     ck = jax.lax.dot_general(
                         vals, pb, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -169,18 +182,6 @@ def _make_pack_kernel(S: int, W: int, blk_cap: int):
                 buf, packed_ref.at[pl.ds(base_blk, WIN), :, :], sem
             )
             cp.start()
-
-            # inverse map: slot-ROW-domain id per set lane at its running
-            # per-ray ordinal w (dl converts the slack-domain cursor)
-            slotf = rank + (cur + dl_ref[s]).astype(jnp.float32)
-            w = w_ref[0, :]
-            wio = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
-            upd = (wio == w[:, None]) & mcol
-            inv_ref[0, :, :] = jnp.where(
-                upd, (slotf[:, None] + 0.5).astype(jnp.int32), inv_ref[0, :, :]
-            )
-            w_ref[0, :] = w + m.astype(jnp.int32)
-
             cp.wait()
 
             # residual: the partial block at the new fill point. Selected
@@ -193,37 +194,168 @@ def _make_pack_kernel(S: int, W: int, blk_cap: int):
             resid_ref[pl.ds(s, 1)] = acc[None]
             cur_ref[s] = cur + cnt
 
+    return kernel
+
+
+
+def _make_unpack_kernel(S: int):
+    """Unpack/merge kernel: grid (n_tiles, S), t-major, mirroring pack.
+
+    For each (tile, super) pair it re-derives the pack permutation from
+    the same bit matrix (two-level rank, 2 MXU passes), DMAs the
+    tri-test's 9-block result window at the pair's precomputed row-slot
+    base, and multiplies the window back into per-ray lanes with the
+    transposed one-hot dots — then min-merges (t, tri) into per-tile
+    scratch. Replaces the inverse-map + XLA-gather merge, whose random
+    [rays, W] gathers measured ~67 ms on kitchen-bounce shapes (the
+    gather path ran at ~140M lookups/s)."""
+
+    def kernel(us_ref, lt_ref, l8_ref, bits_ref, trires_ref, out_ref,
+               wbuf, sem, acc_ref, bt_ref, btri_ref):
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            bt_ref[:, :] = jnp.full((1, TILE), jnp.inf, jnp.float32)
+            btri_ref[:, :] = jnp.full((1, TILE), -1, jnp.int32)
+
+        m2 = bits_ref[0, 0]                          # [8, 128] f32 0/1
+        cnt = jnp.sum(m2).astype(jnp.int32)
+
+        @pl.when(cnt > 0)
+        def _():
+            slot0 = us_ref[t * S + s]
+            base_blk = slot0 // LANES
+            off = slot0 - base_blk * LANES
+
+            cp = pltpu.make_async_copy(
+                trires_ref.at[pl.ds(base_blk, WIN), :, :], wbuf, sem
+            )
+            cp.start()
+
+            hp = jnp.float32
+            rank_in = jax.lax.dot_general(
+                m2, lt_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=hp,
+            )
+            rt = jnp.sum(m2, axis=1, keepdims=True)
+            ro = jax.lax.dot_general(
+                l8_ref[:, :], rt, (((1,), (0,)), ((), ())),
+                preferred_element_type=hp,
+            )
+            rank2 = rank_in + ro
+            pos3 = (rank2 + off.astype(jnp.float32))[:, :, None]
+            m3 = m2[:, :, None] > 0.0
+            lane3 = jax.lax.broadcasted_iota(
+                jnp.int32, (8, LANES, LANES), 2
+            ).astype(jnp.float32)
+            idx_last = (off + cnt - 1) // LANES
+
+            cp.wait()
+
+            # per-chunk-row extraction: 8 rows = (tri, t-bits) x 4 bytes,
+            # accumulated in scratch so dead window blocks skip their
+            # dots entirely (values are small ints: exact under bf16)
+            acc_ref[:, :] = jnp.zeros((8, TILE), jnp.float32)
+            for b in range(WIN):
+                @pl.when(idx_last >= b)
+                def _(b=b):
+                    wb = wbuf[b]                      # [8, 128] i32
+                    cb = []
+                    for plane in range(2):
+                        u = wb[plane:plane + 1, :]    # [1, 128]
+                        for k in range(4):
+                            cb.append(
+                                (jax.lax.shift_right_logical(
+                                    u, jnp.int32(8 * k)) & jnp.int32(255)
+                                 ).astype(jnp.float32)
+                            )
+                    c_b = jnp.concatenate(cb, axis=0)  # [8, 128]
+                    pb = jnp.where(
+                        (pos3 == lane3 + jnp.float32(b * LANES)) & m3,
+                        1.0, 0.0,
+                    ).reshape(TILE, LANES)
+                    part = jax.lax.dot_general(
+                        c_b, pb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                 # [8, TILE]
+                    acc_ref[:, :] = acc_ref[:, :] + part
+
+            shift = jnp.int32(1 << 8)
+            def recomb(k0):
+                u = acc_ref[k0 + 0:k0 + 1, :].astype(jnp.int32)
+                u = u + acc_ref[k0 + 1:k0 + 2, :].astype(jnp.int32) * shift
+                u = u + acc_ref[k0 + 2:k0 + 3, :].astype(jnp.int32) * (shift * shift)
+                u = u + acc_ref[k0 + 3:k0 + 4, :].astype(jnp.int32) * jnp.int32(1 << 24)
+                return u                               # [1, TILE] i32
+
+            tri_new = recomb(0)
+            t_new = jax.lax.bitcast_convert_type(recomb(4), jnp.float32)
+            # unset lanes decode to t == 0.0 (P columns are zero); real
+            # slots carry t >= tmin > 0, so 0 marks "no slot here"
+            upd = (t_new > 0.0) & (t_new < bt_ref[:, :])
+            btri_ref[:, :] = jnp.where(upd, tri_new, btri_ref[:, :])
+            bt_ref[:, :] = jnp.where(upd, t_new, bt_ref[:, :])
+
         @pl.when(s == S - 1)
         def _():
-            wcnt_ref[0, 0, :] = w_ref[0, :]
+            out_ref[0, 0:1, :] = btri_ref[:, :]
+            out_ref[0, 1:2, :] = jax.lax.bitcast_convert_type(
+                bt_ref[:, :], jnp.int32
+            )
 
     return kernel
 
 
+GRP = 8  # slot rows per tri-test grid step (segments are GRP-row padded)
+
+
 def _make_tritest_kernel(sup: int, q: int):
-    """One 128-slot row x one supercluster per grid step."""
+    """GRP 128-slot rows x one supercluster per grid step. The 8-row
+    group amortizes the per-step pipeline bookkeeping, the table DMA,
+    and the serial cluster scan 8x versus a single-row step (measured:
+    the single-row variant spent ~60% of its time on that overhead)."""
     G8 = min(8, sup)
     assert sup % G8 == 0
     _dot = _make_tri_dot()
+    # u/v fast mode: the winner is resolved purely by t (o'z/d'z), so
+    # only those two transforms need the 3-pass split3 dot; the u/v
+    # RANGE TESTS tolerate single-pass bf16 (edge-acceptance wobbles by
+    # ~1e-3 of a barycentric unit; final u/v are recomputed exactly at
+    # merge). 18 MXU passes/pass -> 10.
+    uv_fast = os.environ.get("JRT_RG_UVFAST", "") == "1"
+    _dot_uv = (
+        (lambda a, b: jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        if (uv_fast and jax.default_backend() == "tpu") else _dot
+    )
 
     def kernel(rs_ref, rv_ref, rb_ref, rays_ref, bbox_ref, tab_ref,
-               outf_ref, outi_ref, cany_ref, gany_ref):
+               outi_ref,
+               cmask_ref, cany_ref, gany_ref,
+               bt_ref, btri_ref):
         del rb_ref  # consumed by the BlockSpec index maps only
         j = pl.program_id(0)
-        R1 = rays_ref[0]                             # [8, 128]
-        ox, oy, oz = R1[0:1, :], R1[1:2, :], R1[2:3, :]
-        dx, dy, dz = R1[3:4, :], R1[4:5, :], R1[5:6, :]
-        tmin, tmax = R1[6:7, :], R1[7:8, :]
+        R = GRP
+        # rays_ref: [GRP rows, 8 planes, 128]; gather the per-plane
+        # [GRP, 128] component mats via static per-row reads
+        comp = [
+            jnp.concatenate(
+                [rays_ref[r, p:p + 1, :] for r in range(R)], axis=0
+            )
+            for p in range(8)
+        ]
+        ox, oy, oz, dx, dy, dz, tmin, tmax = comp
 
-        # defaults (dead rows and padded grid tail stay misses)
-        outf_ref[0, :, :] = jnp.concatenate(
-            [jnp.zeros((2, LANES), jnp.float32), tmax,
-             jnp.zeros((5, LANES), jnp.float32)], axis=0,
-        )
-        outi_ref[0, :, :] = jnp.concatenate(
-            [jnp.full((1, LANES), -1, jnp.int32),
-             jnp.zeros((7, LANES), jnp.int32)], axis=0,
-        )
+        # only (best t, best tri) are tracked per lane: u/v/normals/
+        # instance of the single WINNER per lane are recomputed at merge
+        # time from the triangle transform (one XLA gather per ray) —
+        # selecting them per pass (onehot + 2 sels + a HIGHEST nsel dot
+        # + uv flip) was ~half the sweep's VPU and a quarter of its MXU
+        bt_ref[:, :] = tmax
+        btri_ref[:, :] = jnp.full((R, LANES), -1, jnp.int32)
 
         @pl.when(rv_ref[j] != 0)
         def _():
@@ -231,30 +363,36 @@ def _make_tritest_kernel(sup: int, q: int):
             idx_, idy_, idz_ = inv(dx), inv(dy), inv(dz)
 
             bm = bbox_ref[0]                          # [sup, 8]
-            enter = None
-            exit_ = None
-            for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
-                t0 = (bm[:, ax:ax + 1] - o) * di
-                t1 = (bm[:, 3 + ax:4 + ax] - o) * di
-                lo = jnp.minimum(t0, t1)
-                hi = jnp.maximum(t0, t1)
-                enter = lo if enter is None else jnp.maximum(enter, lo)
-                exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
-            enter = jnp.maximum(enter, tmin)
-            exit_ = jnp.minimum(exit_, tmax)
-            row_hit = enter <= exit_ * jnp.float32(1.00000024)  # [sup, 128]
-            ca = jnp.sum(row_hit.astype(jnp.int32), axis=1, keepdims=True)
+            bmin = (bm[:, 0:1], bm[:, 1:2], bm[:, 2:3])
+            bmax = (bm[:, 3:4], bm[:, 4:5], bm[:, 5:6])
+            cols = []
+            for r in range(R):
+                enter = None
+                exit_ = None
+                for ax, (o, di) in enumerate(((ox, idx_), (oy, idy_), (oz, idz_))):
+                    t0 = (bmin[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                    t1 = (bmax[ax] - o[r:r + 1, :]) * di[r:r + 1, :]
+                    lo = jnp.minimum(t0, t1)
+                    hi = jnp.maximum(t0, t1)
+                    enter = lo if enter is None else jnp.maximum(enter, lo)
+                    exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
+                enter = jnp.maximum(enter, tmin[r:r + 1, :])
+                exit_ = jnp.minimum(exit_, tmax[r:r + 1, :])
+                row_hit = enter <= exit_ * jnp.float32(1.00000024)  # [sup,128]
+                cols.append(
+                    jnp.any(row_hit, axis=1, keepdims=True).astype(jnp.int32)
+                )
+            cm = jnp.concatenate(cols, axis=1)        # [sup, R]
+            cmask_ref[:, :] = cm
+            ca = jnp.sum(cm, axis=1, keepdims=True)
+            if os.environ.get("JRT_RG_NOPROC") == "1":  # diagnostics only
+                ca = ca * 0
             cany_ref[:, :] = ca
             gany_ref[:, :] = jnp.sum(ca.reshape(-1, G8, 1), axis=1)
 
             sc = rs_ref[j]
-            tri_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, LANES), 0)
-
-            def process(ci, carry):
-                (best_t, best_tri, best_u, best_v,
-                 best_nx, best_ny, best_nz, best_in) = carry
+            def process_cluster(ci):
                 T = tab_ref[0, ci, 0:12]              # [12, 128]
-                nrm = tab_ref[0, ci, 12:16]           # [4, 128]
                 A = [
                     jnp.concatenate(
                         [T[3 * r_: 3 * r_ + 3, :], T[9 + r_: 10 + r_, :]],
@@ -262,114 +400,66 @@ def _make_tritest_kernel(sup: int, q: int):
                     )
                     for r_ in range(3)
                 ]
-                o_h = jnp.concatenate(
-                    [ox, oy, oz, jnp.ones((1, LANES), jnp.float32)], axis=0
-                )
-                d_h = jnp.concatenate(
-                    [dx, dy, dz, jnp.zeros((1, LANES), jnp.float32)], axis=0
-                )
-                opx, opy, opz = _dot(A[0], o_h), _dot(A[1], o_h), _dot(A[2], o_h)
-                dpx, dpy, dpz = _dot(A[0], d_h), _dot(A[1], d_h), _dot(A[2], d_h)
+                for r in range(R):
+                  @pl.when(cmask_ref[ci, r] != 0)
+                  def _row(r=r):
+                    o_h = jnp.concatenate(
+                        [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
+                         jnp.ones((1, LANES), jnp.float32)], axis=0,
+                    )
+                    d_h = jnp.concatenate(
+                        [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
+                         jnp.zeros((1, LANES), jnp.float32)], axis=0,
+                    )
+                    opx, opy = _dot_uv(A[0], o_h), _dot_uv(A[1], o_h)
+                    dpx, dpy = _dot_uv(A[0], d_h), _dot_uv(A[1], d_h)
+                    opz, dpz = _dot(A[2], o_h), _dot(A[2], d_h)
 
-                tt = -opz / jnp.where(dpz == 0.0, 1e-30, dpz)
-                uu = opx + tt * dpx
-                vv = opy + tt * dpy
-                hit = (
-                    (dpz != 0.0)
-                    & (uu >= 0.0) & (uu <= 1.0)
-                    & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt >= tmin) & (tt < best_t)
-                )
-                tt = jnp.where(hit, tt, 3.4028235e38)
-                min_t = jnp.min(tt, axis=0, keepdims=True)
-                arg = jnp.argmin(tt, axis=0)[None, :]
-                upd = min_t < best_t
-                onehot = (tri_ids == arg).astype(jnp.float32)
-                sel = lambda x: jnp.sum(x * onehot, axis=0, keepdims=True)
-                u_sel = sel(uu)
-                v_sel = sel(vv)
-                nsel = _nsel_dot(nrm, onehot)
-                odd = (arg % 2) == 1
-                u_sel = jnp.where(odd, 1.0 - u_sel, u_sel)
-                v_sel = jnp.where(odd, 1.0 - v_sel, v_sel)
-                put = lambda dst, val: jnp.where(upd, val, dst)
-                return (
-                    put(best_t, min_t),
-                    put(best_tri, (sc * sup + ci) * TRIS + arg),
-                    put(best_u, u_sel),
-                    put(best_v, v_sel),
-                    put(best_nx, nsel[0:1, :]),
-                    put(best_ny, nsel[1:2, :]),
-                    put(best_nz, nsel[2:3, :]),
-                    put(best_in, nsel[3:4, :]),
-                )
+                    bt_row = bt_ref[r:r + 1, :]
+                    tt = -opz / jnp.where(dpz == 0.0, 1e-30, dpz)
+                    uu = opx + tt * dpx
+                    vv = opy + tt * dpy
+                    hit = (
+                        (dpz != 0.0)
+                        & (uu >= 0.0) & (uu <= 1.0)
+                        & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt >= tmin[r:r + 1, :]) & (tt < bt_row)
+                    )
+                    tt = jnp.where(hit, tt, 3.4028235e38)
+                    min_t = jnp.min(tt, axis=0, keepdims=True)
+                    arg = jnp.argmin(tt, axis=0)[None, :]
+                    upd = min_t < bt_row
 
-            def inner(ci, carry):
-                return jax.lax.cond(
-                    cany_ref[ci, 0] != 0,
-                    functools.partial(process, ci),
-                    lambda c: c,
-                    carry,
-                )
+                    rsel = pl.ds(r, 1)
+                    btri_ref[rsel, :] = jnp.where(
+                        upd, (sc * sup + ci) * TRIS + arg, btri_ref[rsel, :]
+                    )
+                    bt_ref[rsel, :] = jnp.where(upd, min_t, bt_ref[rsel, :])
 
-            def group(g, carry):
-                def do(carry):
-                    # re-cull this group's clusters against the RUNNING
-                    # best t: the sweep is Morton-ordered, so once near
-                    # geometry is hit, later clusters mostly fail here
-                    # and their MXU passes are skipped entirely
-                    best_t = carry[0]                 # [1, 128]
-                    bm8 = bbox_ref[0, pl.ds(g * G8, G8), :]
-                    en8 = None
-                    ex8 = None
-                    for ax, (o, di) in enumerate(
-                        ((ox, idx_), (oy, idy_), (oz, idz_))
-                    ):
-                        t0 = (bm8[:, ax:ax + 1] - o) * di
-                        t1 = (bm8[:, 3 + ax:4 + ax] - o) * di
-                        lo = jnp.minimum(t0, t1)
-                        hi = jnp.maximum(t0, t1)
-                        en8 = lo if en8 is None else jnp.maximum(en8, lo)
-                        ex8 = hi if ex8 is None else jnp.minimum(ex8, hi)
-                    en8 = jnp.maximum(en8, tmin)
-                    ex8 = jnp.minimum(ex8, jnp.minimum(tmax, best_t))
-                    hit8 = en8 <= ex8 * jnp.float32(1.00000024)
-                    if os.environ.get("JRT_RG_NORECULL") != "1":
-                        cany_ref[pl.ds(g * G8, G8), :] = jnp.sum(
-                            hit8.astype(jnp.int32), axis=1, keepdims=True
-                        )
-                    return jax.lax.fori_loop(g * G8, g * G8 + G8, inner, carry)
+            def inner(ci, _):
+                @pl.when(cany_ref[ci, 0] != 0)
+                def _():
+                    process_cluster(ci)
+                return 0
 
-                return jax.lax.cond(
-                    gany_ref[g, 0] != 0, do, lambda c: c, carry
-                )
+            def group(g, _):
+                @pl.when(gany_ref[g, 0] != 0)
+                def _():
+                    jax.lax.fori_loop(g * G8, g * G8 + G8, inner, 0)
+                return 0
 
-            carry = (
-                tmax,
-                jnp.full((1, LANES), -1, jnp.int32),
-                jnp.zeros((1, LANES), jnp.float32),
-                jnp.zeros((1, LANES), jnp.float32),
-                jnp.zeros((1, LANES), jnp.float32),
-                jnp.zeros((1, LANES), jnp.float32),
-                jnp.zeros((1, LANES), jnp.float32),
-                jnp.zeros((1, LANES), jnp.float32),
-            )
-            carry = jax.lax.fori_loop(0, sup // G8, group, carry)
-            (best_t, best_tri, best_u, best_v,
-             best_nx, best_ny, best_nz, best_in) = carry
+            jax.lax.fori_loop(0, sup // G8, group, 0)
 
-            prim = jnp.where(best_tri >= 0, best_tri // 2, -1)
-            prim = jnp.where(prim >= q, -1, prim)
-            hit = prim >= 0
-            t_out = jnp.where(hit, best_t, tmax)
-            outf_ref[0, :, :] = jnp.concatenate(
-                [best_u, best_v, t_out, best_nx, best_ny, best_nz,
-                 jnp.zeros((2, LANES), jnp.float32)], axis=0,
-            )
-            outi_ref[0, :, :] = jnp.concatenate(
-                [prim, (best_in + 0.5).astype(jnp.int32),
-                 jnp.zeros((6, LANES), jnp.int32)], axis=0,
-            )
+        # one packed i32 output: plane 0 = winning tri id (-1 = miss),
+        # plane 1 = bitcast best t (fold the miss->tmax select here)
+        best_tri = btri_ref[:, :]
+        valid = (best_tri >= 0) & (best_tri < q * 2)
+        tri_out = jnp.where(valid, best_tri, -1)
+        t_out = jnp.where(valid, bt_ref[:, :], tmax)
+        outi_ref[0:R, :, :] = jnp.stack(
+            [tri_out, jax.lax.bitcast_convert_type(t_out, jnp.int32)]
+            + [jnp.zeros((R, LANES), jnp.int32)] * 6, axis=1,
+        )
 
     return kernel
 
@@ -378,7 +468,6 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
                                    prim_instance=None,
                                    interpret: bool = False,
                                    cache_key: str = "",
-                                   w_cap: int = DEF_W,
                                    blk_cap: int = DEF_BLK_CAP):
     """Regroup intersector -> Hit; drop-in for
     make_cluster_intersect_worklist (same tables triple + a lower-
@@ -410,46 +499,48 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
     tab_d = jnp.asarray(tab)
     bbox_d = jnp.asarray(bbox.reshape(n_super, sup, 8))
     sbbox_d = jnp.asarray(sbbox)
-    lower_d = jnp.asarray(np.tril(np.ones((TILE, TILE), np.float32)))
-    default_tables = (tab_d, bbox_d, sbbox_d, lower_d)
+    # strict-lower prefix constants for the two-level rank
+    lt128_d = jnp.asarray(
+        np.tril(np.ones((LANES, LANES), np.float32), k=-1).T
+    )  # lt128[c', c] = c' < c
+    l8_d = jnp.asarray(np.tril(np.ones((8, 8), np.float32), k=-1))
+    default_tables = (tab_d, bbox_d, sbbox_d, lt128_d, l8_d)
 
     S = n_super
-    W = w_cap
-    rows_cap = max(TILE // LANES, blk_cap - S * SLACK - SLACK)
+    rows_cap = max(GRP, (blk_cap - S * SLACK - SLACK) // GRP * GRP)
 
     # worklist fallback for W / capacity overflow (shares the table cache)
     fallback = make_cluster_intersect_worklist(
         prim_verts_np, prim_instance, interpret=interpret, cache_key=cache_key
     )
 
-    pack_kernel = _make_pack_kernel(S, W, blk_cap)
+    pack_kernel = _make_pack_kernel(S, blk_cap)
     tri_kernel = _make_tritest_kernel(sup, q)
+    unpack_kernel = _make_unpack_kernel(S)
 
-    def pack_call(bits_t, rays_t, seg_base, delta, n_tiles, lower_t):
+    def pack_call(bits_t, rays_t, seg_base, n_tiles, lt128_t, l8_t):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(n_tiles, S),
             in_specs=[
-                pl.BlockSpec((TILE, TILE), lambda t, s, sb, dl: (0, 0),
+                pl.BlockSpec((LANES, LANES), lambda t, s, sb: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S, TILE), lambda t, s, sb, dl: (t, 0, 0),
+                pl.BlockSpec((8, 8), lambda t, s, sb: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, LANES),
+                             lambda t, s, sb: (t, s, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, N_CHUNK_ROWS, TILE),
-                             lambda t, s, sb, dl: (t, 0, 0),
+                             lambda t, s, sb: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, TILE, W), lambda t, s, sb, dl: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, TILE), lambda t, s, sb, dl: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((WIN, 8, LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SMEM((S,), jnp.int32),
-                pltpu.VMEM((1, TILE), jnp.int32),
                 pltpu.VMEM((S, 8, LANES), jnp.float32),
             ],
         )
@@ -458,20 +549,55 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((blk_cap, 8, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((n_tiles, TILE, W), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.int32),
             ],
             interpret=interpret,
-        )(seg_base, delta, lower_t, bits_t, rays_t)
+        )(seg_base, lt128_t, l8_t, bits_t, rays_t)[0]
 
-    def tri_call(row_super, row_valid, row_blk, packed, bbox_t, tab_t,
+    def unpack_call(bits_t, uslot, trires, n_tiles, lt128_t, l8_t):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles, S),
+            in_specs=[
+                pl.BlockSpec((LANES, LANES), lambda t, s, us: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 8), lambda t, s, us: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, LANES),
+                             lambda t, s, us: (t, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 2, TILE), lambda t, s, us: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((WIN, 8, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((8, TILE), jnp.float32),
+                pltpu.VMEM((1, TILE), jnp.float32),
+                pltpu.VMEM((1, TILE), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            unpack_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles, 2, TILE), jnp.int32),
+            ],
+            interpret=interpret,
+        )(uslot, lt128_t, l8_t, bits_t, trires)[0]
+
+    def tri_call(grp_super, grp_valid, grp_blk, packed, bbox_t, tab_t,
                  cap=None):
         cap = rows_cap if cap is None else cap
+        n_grp = cap // GRP
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(cap,),
+            grid=(n_grp,),
             in_specs=[
-                pl.BlockSpec((1, 8, LANES), lambda j, rs, rv, rb: (rb[j], 0, 0),
+                pl.BlockSpec((GRP, 8, LANES),
+                             lambda j, rs, rv, rb: (rb[j], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, sup, 8), lambda j, rs, rv, rb: (rs[j], 0, 0),
                              memory_space=pltpu.VMEM),
@@ -480,26 +606,30 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 8, LANES), lambda j, rs, rv, rb: (j, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, LANES), lambda j, rs, rv, rb: (j, 0, 0),
+                pl.BlockSpec((GRP, 8, LANES), lambda j, rs, rv, rb: (j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
+                pltpu.VMEM((sup, GRP), jnp.int32),
                 pltpu.VMEM((sup, 1), jnp.int32),
                 pltpu.VMEM((max(sup // 8, 1), 1), jnp.int32),
+                pltpu.VMEM((GRP, LANES), jnp.float32),
+                pltpu.VMEM((GRP, LANES), jnp.int32),
             ],
         )
         return pl.pallas_call(
             tri_kernel,
             grid_spec=grid_spec,
+            # +2*GRP guard rows: the unpack kernel's 9-block window DMA
+            # can read up to WIN-1 rows past total_rows; the guard rows
+            # are never written (grid covers cap) and their garbage is
+            # only multiplied against zero one-hot columns
             out_shape=[
-                jax.ShapeDtypeStruct((cap, 8, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((cap, 8, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((cap + 2 * GRP, 8, LANES), jnp.int32),
             ],
             interpret=interpret,
-        )(row_super[:cap], row_valid[:cap], row_blk[:cap],
-          packed, bbox_t, tab_t)
+        )(grp_super[:n_grp], grp_valid[:n_grp], grp_blk[:n_grp],
+          packed, bbox_t, tab_t)[0]
 
     def _count_stage(comps, nblocks, sbbox_t):
         """Slab rays vs supercluster boxes -> everything the pack and
@@ -510,17 +640,17 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
         would need a lane<->sublane transpose of ~100 MB, which measured
         ~45 ms fused with the reductions."""
         n_tiles = nblocks
-        # [tiles, 1, TILE] per component vs [1, S, 1] per box bound
-        o3 = [c.reshape(n_tiles, 1, TILE) for c in comps[0:3]]
-        d3 = [c.reshape(n_tiles, 1, TILE) for c in comps[3:6]]
-        tn = comps[6].reshape(n_tiles, 1, TILE)
-        tx = comps[7].reshape(n_tiles, 1, TILE)
+        # [tiles, 1, 8, 128] per component vs [1, S, 1, 1] per box bound
+        o3 = [c.reshape(n_tiles, 1, 8, LANES) for c in comps[0:3]]
+        d3 = [c.reshape(n_tiles, 1, 8, LANES) for c in comps[3:6]]
+        tn = comps[6].reshape(n_tiles, 1, 8, LANES)
+        tx = comps[7].reshape(n_tiles, 1, 8, LANES)
         enter = None
         exit_ = None
         for ax in range(3):
             di = 1.0 / jnp.where(d3[ax] == 0.0, 1e-30, d3[ax])
-            b_lo = sbbox_t[None, :, ax, None]
-            b_hi = sbbox_t[None, :, 3 + ax, None]
+            b_lo = sbbox_t[None, :, ax, None, None]
+            b_hi = sbbox_t[None, :, 3 + ax, None, None]
             t0 = (b_lo - o3[ax]) * di
             t1 = (b_hi - o3[ax]) * di
             lo = jnp.minimum(t0, t1)
@@ -529,33 +659,43 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             exit_ = hi if exit_ is None else jnp.minimum(exit_, hi)
         enter = jnp.maximum(enter, tn)
         exit_ = jnp.minimum(exit_, tx)
-        bits = enter <= exit_ * jnp.float32(1.00000024)  # [tiles, S, TILE]
+        bits = enter <= exit_ * jnp.float32(1.00000024)  # [t, S, 8, 128]
+        bits = jax.lax.optimization_barrier(bits.astype(jnp.float32))
 
         per_ray = jnp.sum(bits, axis=1).reshape(-1)         # [rays]
-        cnt_s = jnp.sum(bits.astype(jnp.int32), axis=(0, 2))  # [S]
-        nblk_s = (cnt_s + LANES - 1) // LANES
+        cnt_s = jnp.sum(bits, axis=(0, 2, 3)).astype(jnp.int32)  # [S]
+        # rows per segment padded to GRP so tri-test groups never span a
+        # segment boundary and the packed blocks of a group stay
+        # GRP-aligned (segblk stays a multiple of GRP: SLACK == GRP)
+        nblk_s = -(-((cnt_s + LANES - 1) // LANES) // GRP) * GRP
         row_start = jnp.cumsum(nblk_s) - nblk_s             # exclusive
         total_rows = row_start[-1] + nblk_s[-1]
         segblk = jnp.cumsum(nblk_s + SLACK) - (nblk_s + SLACK)
         seg_base = (segblk * LANES).astype(jnp.int32)       # slot domain
-        delta = (row_start * LANES).astype(jnp.int32) - seg_base
         total_blk = segblk[-1] + nblk_s[-1] + SLACK
+        # per-(tile, super) ROW-domain slot base for the unpack kernel:
+        # the pack cursor state is deterministic from the counts
+        cnt_ts = jnp.sum(bits, axis=(2, 3)).astype(jnp.int32)  # [t, S]
+        cum_ts = jnp.cumsum(cnt_ts, axis=0) - cnt_ts
+        uslot = (
+            row_start[None, :] * LANES + cum_ts
+        ).astype(jnp.int32).reshape(-1)                     # [t*S]
 
-        j = jnp.arange(rows_cap, dtype=jnp.int32)
-        ends = jnp.cumsum(nblk_s)
-        row_super = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
-        row_super = jnp.minimum(row_super, S - 1)
-        row_valid = (j < total_rows).astype(jnp.int32)
-        row_blk = segblk[row_super] + (j - row_start[row_super])
-        row_blk = jnp.clip(row_blk, 0, blk_cap - 1).astype(jnp.int32)
+        n_grp = rows_cap // GRP
+        g = jnp.arange(n_grp, dtype=jnp.int32)
+        ends_g = jnp.cumsum(nblk_s // GRP)
+        grp_super = jnp.searchsorted(ends_g, g, side="right").astype(jnp.int32)
+        grp_super = jnp.minimum(grp_super, S - 1)
+        grp_valid = (g < total_rows // GRP).astype(jnp.int32)
+        grp_start = ends_g - nblk_s // GRP
+        grp_blk = segblk[grp_super] // GRP + (g - grp_start[grp_super])
+        grp_blk = jnp.clip(grp_blk, 0, blk_cap // GRP - 1).astype(jnp.int32)
 
-        bits_t = bits.astype(jnp.float32)
-        overflow = (
-            (jnp.max(per_ray) > W)
-            | (total_rows > rows_cap)
-            | (total_blk > blk_cap)
-        )
-        return (bits_t, seg_base, delta, row_super, row_valid, row_blk,
+        bits_t = bits
+        del per_ray  # no W bound anymore: the unpack path has no
+        # per-ray fan-out limit (the inverse map did)
+        overflow = (total_rows > rows_cap) | (total_blk > blk_cap)
+        return (bits_t, seg_base, uslot, grp_super, grp_valid, grp_blk,
                 overflow, total_rows)
 
     def _chunk_planes(comps):
@@ -574,37 +714,59 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
         ck = jnp.pad(ck, ((0, N_CHUNK_ROWS - N_PLANES * 4), (0, 0), (0, 0)))
         return ck.transpose(1, 0, 2)                     # [tiles, 40, TILE]
 
-    # power-of-two ladder of static tri-test grid sizes: the smallest cap
-    # holding total_rows runs (dead tail steps still cost output DMAs)
-    row_caps = [c for c in (2048, 4096, 8192, 16384) if c < rows_cap]
-    row_caps.append(rows_cap)
-
-    def _regroup_chunk(comps, nb, tab_t, bbox_t, sbbox_t, lower_t):
-        (bits_t, seg_base, delta, row_super, row_valid, row_blk,
+    def _regroup_chunk(comps, nb, tab_t, bbox_t, sbbox_t, lt128_t, l8_t):
+        (bits_t, seg_base, uslot, grp_super, grp_valid, grp_blk,
          overflow, total_rows) = _count_stage(comps, nb, sbbox_t)
         rays_t = _chunk_planes(comps)
 
-        def merge(outf, outi, inv, wcnt):
-            """Per-ray argmin over its W slots -> packed chunk outputs."""
-            inv2 = inv.reshape(-1, W)                       # [rays, W]
-            wc = wcnt.reshape(-1)                           # [rays]
-            valid = jax.lax.broadcasted_iota(jnp.int32, inv2.shape, 1) < wc[:, None]
-            tflat = outf[:, 2, :].reshape(-1)
-            tall = jnp.where(valid, tflat[inv2], jnp.float32(jnp.inf))
-            bw = jnp.argmin(tall, axis=1)
-            bslot = jnp.take_along_axis(inv2, bw[:, None], axis=1)[:, 0]
-            bslot = jnp.where(wc > 0, bslot, 0)
-            gf = lambda k: outf[:, k, :].reshape(-1)[bslot]
-            gi = lambda k: outi[:, k, :].reshape(-1)[bslot]
-            u, v, t = gf(0), gf(1), gf(2)
-            nx, ny, nz = gf(3), gf(4), gf(5)
-            prim = jnp.where(wc > 0, gi(0), -1)
-            inst = jnp.where(wc > 0, gi(1), 0)
-            hit = prim >= 0
-            tx = comps[7].reshape(-1)
-            t_out = jnp.where(hit, t, tx)
+        def merge(outu):
+            """Recompute the winner's u/v/normal/instance from its
+            triangle transform (one [rays, 16] table gather) -> packed
+            chunk outputs. The sweep kernel only emits (tri, t) per
+            slot (selecting the other attributes per pass was ~half its
+            VPU work); the unpack kernel already min-merged per ray."""
+            tri = outu[:, 0, :].reshape(-1)                 # [rays]
+            t = jax.lax.bitcast_convert_type(
+                outu[:, 1, :].reshape(-1), jnp.float32
+            )
+            hit = tri >= 0
+            prim = jnp.where(hit, tri // 2, -1)
+
+            # winner attribute recompute from the packed table (flat
+            # 1-D indices: multi-coordinate gathers lower poorly)
+            tabf = tab_t.reshape(-1)
+            tri_c = jnp.maximum(tri, 0)
+            cl = tri_c // TRIS
+            ln = tri_c % TRIS
+            fidx = ((cl * 16)[:, None] + jnp.arange(16)[None, :]) * TRIS \
+                + ln[:, None]
+            rowsv = tabf[fidx]                              # [rays, 16]
             oxr, oyr, ozr = (c.reshape(-1) for c in comps[0:3])
             dxr, dyr, dzr = (c.reshape(-1) for c in comps[3:6])
+            dot3 = lambda k, x, y, z: (
+                rowsv[:, k] * x + rowsv[:, k + 1] * y + rowsv[:, k + 2] * z
+            )
+            opx = dot3(0, oxr, oyr, ozr) + rowsv[:, 9]
+            opy = dot3(3, oxr, oyr, ozr) + rowsv[:, 10]
+            opz = dot3(6, oxr, oyr, ozr) + rowsv[:, 11]
+            dpx = dot3(0, dxr, dyr, dzr)
+            dpy = dot3(3, dxr, dyr, dzr)
+            dpz = dot3(6, dxr, dyr, dzr)
+            tt = -opz / jnp.where(dpz == 0.0, 1e-30, dpz)
+            u = opx + tt * dpx
+            v = opy + tt * dpy
+            odd = (tri % 2) == 1
+            u = jnp.where(odd, 1.0 - u, u)
+            v = jnp.where(odd, 1.0 - v, v)
+            u = jnp.where(hit, u, 0.0)
+            v = jnp.where(hit, v, 0.0)
+            nx = jnp.where(hit, rowsv[:, 12], 0.0)
+            ny = jnp.where(hit, rowsv[:, 13], 0.0)
+            nz = jnp.where(hit, rowsv[:, 14], 0.0)
+            inst = jnp.where(hit, (rowsv[:, 15] + 0.5).astype(jnp.int32), 0)
+
+            tx = comps[7].reshape(-1)
+            t_out = jnp.where(hit, t, tx)
             outf9 = jnp.stack(
                 [u, v, t_out,
                  oxr + t_out * dxr, oyr + t_out * dyr, ozr + t_out * dzr,
@@ -616,24 +778,11 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             return outf9, outi2
 
         def regroup(_):
-            packed, inv, wcnt = pack_call(bits_t, rays_t, seg_base, delta,
-                                          nb, lower_t)
-
-            def branch(cap):
-                def run(_):
-                    outf, outi = tri_call(row_super, row_valid, row_blk,
-                                          packed, bbox_t, tab_t, cap=cap)
-                    return merge(outf, outi, inv, wcnt)
-                return run
-
-            idx = jnp.searchsorted(
-                jnp.asarray(row_caps, jnp.int32), total_rows
-            )
-            return jax.lax.switch(
-                jnp.minimum(idx, len(row_caps) - 1),
-                [branch(c) for c in row_caps],
-                None,
-            )
+            packed = pack_call(bits_t, rays_t, seg_base, nb, lt128_t, l8_t)
+            trires = tri_call(grp_super, grp_valid, grp_blk,
+                              packed, bbox_t, tab_t)
+            outu = unpack_call(bits_t, uslot, trires, nb, lt128_t, l8_t)
+            return merge(outu)
 
         def fb(_):
             h = fallback.impl_chunk(comps, nb, (tab_t, bbox_t, sbbox_t))
@@ -642,7 +791,7 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
         return jax.lax.cond(overflow, fb, regroup, None)
 
     def _intersect_impl(ro, rd, tmin, tmax, tables):
-        tab_t, bbox_t, sbbox_t, lower_t = tables
+        tab_t, bbox_t, sbbox_t, lt128_t, l8_t = tables
         n = ro.shape[0]
         n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
         pad = n_pad - n
@@ -665,7 +814,8 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             nb = bhi - blo
             rsel = slice(blo * ROWS, bhi * ROWS)
             ccomp = [c[rsel] for c in comps]
-            of, oi = _regroup_chunk(ccomp, nb, tab_t, bbox_t, sbbox_t, lower_t)
+            of, oi = _regroup_chunk(ccomp, nb, tab_t, bbox_t, sbbox_t,
+                                    lt128_t, l8_t)
             parts_f.append(of)
             parts_i.append(oi)
         outf = parts_f[0] if len(parts_f) == 1 else jnp.concatenate(parts_f, axis=0)
@@ -692,14 +842,14 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
 
         from julia_raytracer_tpu.utils.timing import fence
 
-        tab_t, bbox_t, sbbox_t, lower_t = default_tables
+        tab_t, bbox_t, sbbox_t, lt128_t, l8_t = default_tables
         n = ro.shape[0]
         nb = min(-(-n // BLOCK_RAYS), RG_CHUNK_BLOCKS)
         n_use = nb * BLOCK_RAYS
         if n < n_use:
             raise ValueError("debug_profile wants >= one full chunk")
 
-        def prep(x, fill=0.0):
+        def prep(x):
             return x[:n_use].reshape(-1, LANES)
 
         comps = [
@@ -710,9 +860,11 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
         count_j = jax.jit(lambda c: _count_stage(c, nb, sbbox_t) + (
             _chunk_planes(c),))
         pack_j = jax.jit(
-            lambda bt, rt, sb, dl: pack_call(bt, rt, sb, dl, nb, lower_t))
+            lambda bt, rt, sb: pack_call(bt, rt, sb, nb, lt128_t, l8_t))
         tri_j = jax.jit(
             lambda rs, rv, rb, pk: tri_call(rs, rv, rb, pk, bbox_t, tab_t))
+        unp_j = jax.jit(
+            lambda bt, us, tr: unpack_call(bt, us, tr, nb, lt128_t, l8_t))
 
         def timed(name, fn, *args):
             out = fence(fn(*args))
@@ -725,14 +877,14 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             return out
 
         cnt_out = timed("count+chunk", count_j, comps)
-        (bits_t, seg_base, delta, row_super, row_valid, row_blk,
+        (bits_t, seg_base, uslot, grp_super, grp_valid, grp_blk,
          overflow, total_rows, rays_t) = cnt_out
         print(f"  overflow={bool(overflow)} rows={int(total_rows)}"
               f"/{rows_cap}")
-        pk_out = timed("pack", pack_j, bits_t, rays_t, seg_base, delta)
-        packed, inv, wcnt = pk_out
-        timed("tri-test", tri_j, row_super, row_valid, row_blk, packed)
-        print(f"  max supers/ray: {int(jnp.max(wcnt))} (W={W})")
+        packed = timed("pack", pack_j, bits_t, rays_t, seg_base)
+        trires = timed("tri-test", tri_j, grp_super, grp_valid, grp_blk,
+                       packed)
+        timed("unpack", unp_j, bits_t, uslot, trires)
 
     intersect.tables = default_tables
     intersect.wants_tables = True
@@ -740,6 +892,7 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
     # internals exposed for diagnostics (tools/ab_regroup.py bisection)
     intersect._internals = dict(
         count=_count_stage, chunk=_chunk_planes, pack=pack_call,
-        tri=tri_call, W=W, rows_cap=rows_cap, blk_cap=blk_cap,
+        tri=tri_call, unpack=unpack_call, rows_cap=rows_cap,
+        blk_cap=blk_cap,
     )
     return intersect
