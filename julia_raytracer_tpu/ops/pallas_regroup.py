@@ -391,6 +391,24 @@ def _make_tritest_kernel(sup: int, q: int):
             gany_ref[:, :] = jnp.sum(ca.reshape(-1, G8, 1), axis=1)
 
             sc = rs_ref[j]
+            # per-row homogeneous ray matrices, hoisted out of the
+            # cluster loop (an o|d-fused [4,256] RHS variant was tried:
+            # same MXU passes, and Mosaic compile time exploded)
+            o_hs = [
+                jnp.concatenate(
+                    [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
+                     jnp.ones((1, LANES), jnp.float32)], axis=0,
+                )
+                for r in range(R)
+            ]
+            d_hs = [
+                jnp.concatenate(
+                    [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
+                     jnp.zeros((1, LANES), jnp.float32)], axis=0,
+                )
+                for r in range(R)
+            ]
+
             def process_cluster(ci):
                 T = tab_ref[0, ci, 0:12]              # [12, 128]
                 A = [
@@ -403,14 +421,7 @@ def _make_tritest_kernel(sup: int, q: int):
                 for r in range(R):
                   @pl.when(cmask_ref[ci, r] != 0)
                   def _row(r=r):
-                    o_h = jnp.concatenate(
-                        [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :],
-                         jnp.ones((1, LANES), jnp.float32)], axis=0,
-                    )
-                    d_h = jnp.concatenate(
-                        [dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :],
-                         jnp.zeros((1, LANES), jnp.float32)], axis=0,
-                    )
+                    o_h, d_h = o_hs[r], d_hs[r]
                     opx, opy = _dot_uv(A[0], o_h), _dot_uv(A[1], o_h)
                     dpx, dpy = _dot_uv(A[0], d_h), _dot_uv(A[1], d_h)
                     opz, dpz = _dot(A[2], o_h), _dot(A[2], d_h)
@@ -889,6 +900,19 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
     intersect.tables = default_tables
     intersect.wants_tables = True
     intersect.debug_profile = debug_profile
+    # coherent camera rays favor the worklist kernel (their block unions
+    # ~equal per-ray footprints, so regrouping is pure overhead: kitchen
+    # primaries measured 137 ms worklist vs 176 ms regroup); expose the
+    # already-built fallback so build_intersector can route primary
+    # dispatches there. It takes the regroup 5-tuple and slices off the
+    # pack constants.
+    def primary(ro, rd, tmin, tmax, tables=None):
+        return fallback(ro, rd, tmin, tmax,
+                        tables[:3] if tables is not None else None)
+
+    primary.wants_tables = True
+    primary.tables = default_tables
+    intersect.primary = primary
     # internals exposed for diagnostics (tools/ab_regroup.py bisection)
     intersect._internals = dict(
         count=_count_stage, chunk=_chunk_planes, pack=pack_call,

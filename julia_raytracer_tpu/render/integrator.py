@@ -44,7 +44,12 @@ from julia_raytracer_tpu.render.scene_device import DeviceScene, SceneConfig
 from julia_raytracer_tpu.utils import rng as rng_mod
 from julia_raytracer_tpu.utils.vecmath import dot
 
+import os
+
 BRUTEFORCE_THRESHOLD = 256
+# ray regrouping pays off once block footprint unions dwarf per-ray
+# footprints — a heavy-scene effect (kitchen/bathroom1/coffee class)
+REGROUP_MIN_PRIMS = int(os.environ.get("JRT_REGROUP_MIN") or 150_000)
 
 
 class TraceOptions(NamedTuple):
@@ -414,6 +419,27 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
                 make_bruteforce_pallas(np.asarray(verts_np), inst_np),
                 dscene, config,
             )
+        if (os.environ.get("JRT_REGROUP", "1") == "1"
+                and config.n_prims >= REGROUP_MIN_PRIMS):
+            # supercluster ray regrouping (ops/pallas_regroup.py): packs
+            # divergent bounce rays into single-super rows so the sweep
+            # never pays a block's footprint union (kitchen bounce
+            # dispatch: 404 -> 295 ms). Coherent primary dispatches
+            # route to its embedded worklist fallback via `.primary`.
+            from julia_raytracer_tpu.ops.pallas_regroup import (
+                make_cluster_intersect_regroup,
+            )
+
+            rg = make_cluster_intersect_regroup(
+                np.asarray(verts_np), inst_np, cache_key=config.cache_key
+            )
+            outer = curve_wrap(rg, dscene, config)
+            if outer is not rg:
+                prim_wrapped = curve_wrap(rg.primary, dscene, config)
+                outer.tables = rg.tables
+                outer.wants_tables = True
+                outer.primary = prim_wrapped
+            return outer
         from julia_raytracer_tpu.ops.pallas_cluster import (
             make_cluster_intersect_worklist,
         )
@@ -491,6 +517,7 @@ def trace_wavefront(
     rd,
     rng_state,
     intersect=None,
+    intersect_primary=None,
 ):
     """Trace a batch of rays to completion.
 
@@ -501,16 +528,25 @@ def trace_wavefront(
     n = ro.shape[0]
     if intersect is None:
         intersect = make_intersect(dscene, config)
-    if getattr(intersect, "wants_tables", False) and dscene.isec_tables:
+
+    def _thread_tables(isec):
         # thread the Pallas kernel tables through the jit boundary as
         # ARGUMENTS (dscene is a traced arg): closure-captured device
         # arrays would otherwise lower as inline literals, bloating the
         # program by the table size per compiled kernel variant
-        _inner = intersect
+        if not (getattr(isec, "wants_tables", False) and dscene.isec_tables):
+            return isec
         _tabs = dscene.isec_tables
 
-        def intersect(ro_, rd_, tn_, tx_):
-            return _inner(ro_, rd_, tn_, tx_, tables=_tabs)
+        def wrapped(ro_, rd_, tn_, tx_):
+            return isec(ro_, rd_, tn_, tx_, tables=_tabs)
+
+        return wrapped
+
+    # coherent primary dispatches may route to a different kernel than
+    # the divergent bounce/light-march ones (regroup intersector)
+    intersect_primary = _thread_tables(intersect_primary or intersect)
+    intersect = _thread_tables(intersect)
 
     is_path = options.sampler == "path"
     counts = config.light_counts
@@ -568,7 +604,7 @@ def trace_wavefront(
             lambda a: a[perm0], (ro, rd, rng_state, idx0)
         )
 
-    h0 = intersect(ro, rd, jnp.full(n, RAY_EPS), jnp.full(n, F32_MAX))
+    h0 = intersect_primary(ro, rd, jnp.full(n, RAY_EPS), jnp.full(n, F32_MAX))
     state = S(
         ro=ro,
         rd=rd,

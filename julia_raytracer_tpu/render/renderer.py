@@ -294,7 +294,9 @@ class Renderer:
                 cam, ij, (width, height), puv, luv, params.tentfilter
             )
             radiance, hit, albedo_s, normal_s, rng = trace_wavefront(
-                dscene, config, options, ro, rd, rng, intersect=self.intersect
+                dscene, config, options, ro, rd, rng,
+                intersect=self.intersect,
+                intersect_primary=getattr(self.intersect, "primary", None),
             )
 
             img_new, alb_new, nrm_new, env_case = _scrub_compose(
@@ -436,7 +438,9 @@ class Renderer:
                 cam, ij, (width, height), puv, luv, params.tentfilter
             )
             radiance, hit, albedo_s, normal_s, rng = trace_wavefront(
-                dscene, config, options, ro, rd, rng, intersect=self.intersect
+                dscene, config, options, ro, rd, rng,
+                intersect=self.intersect,
+                intersect_primary=getattr(self.intersect, "primary", None),
             )
             img_new, alb_new, nrm_new, env_case = _scrub_compose(
                 radiance, hit, albedo_s, normal_s, rd, chunk,

@@ -1,0 +1,127 @@
+"""True intersector MFU/roofline from analytic kernel flop models.
+
+Loads a real bounce-ray dump (tools/row_union_stats.dump recipe), times
+both intersectors with chained dispatches (fenced once at the end — the
+per-iteration fence costs ~50-90 ms of tunnel round-trip on axon), and
+reports analytic flops / bytes / utilization per kernel from
+utils/kernel_flops (XLA cost analysis cannot see custom-call flops —
+VERDICT r3 missing #4).
+
+Usage: python tools/intersector_mfu.py [scene] [res] [--json OUT]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scene = args[0] if args else "kitchen"
+    res = int(args[1]) if len(args) > 1 else 512
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+    scene_path = f"/root/reference/scenes/{scene}/{scene}.json"
+    dump_path = f"/tmp/rowstats_{scene}_{res}.npz"
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from julia_raytracer_tpu.utils.timing import fence
+    from julia_raytracer_tpu.utils import kernel_flops as kf
+    from julia_raytracer_tpu.utils.roofline import roofline
+
+    if not os.path.exists(dump_path):
+        from tools.row_union_stats import dump
+        dump(scene_path, res, dump_path)
+    z = np.load(dump_path)
+    o, d = z["o"], z["d"]
+    cbb = z["cbb"]
+    n = len(o)
+    tmin_np = np.full(n, 1e-4, np.float32)
+    tmax_np = np.full(n, 3.4e38, np.float32)
+
+    from julia_raytracer_tpu.scene.loader import load_scene
+    from julia_raytracer_tpu.render.renderer import Params, Renderer
+
+    sc = load_scene(scene_path)
+    r = Renderer(sc, Params(resolution=res, samples=1, bounces=2))
+    pv = np.asarray(r.config.host_prim_verts)
+    inst = np.asarray(r.config.host_prim_instance)
+    ck = r.config.cache_key
+
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        make_cluster_intersect_worklist,
+    )
+    from julia_raytracer_tpu.ops.pallas_regroup import (
+        make_cluster_intersect_regroup,
+    )
+
+    isecs = {
+        "worklist": make_cluster_intersect_worklist(pv, inst, cache_key=ck),
+        "regroup": make_cluster_intersect_regroup(pv, inst, cache_key=ck),
+    }
+
+    print(f"{scene} {res}px bounce dispatch: {n} rays", flush=True)
+    uv_fast = os.environ.get("JRT_RG_UVFAST", "") == "1"
+    stats_rg = kf.regroup_dispatch_stats(o, d, tmin_np, tmax_np, cbb)
+    fl_rg = kf.regroup_dispatch_flops(stats_rg, uv_fast=uv_fast)
+    stats_wl = kf.worklist_dispatch_stats(o, d, tmin_np, tmax_np, cbb)
+    fl_wl = kf.worklist_dispatch_flops(stats_wl)
+    models = {"worklist": fl_wl, "regroup": fl_rg}
+    print("regroup stats:", stats_rg)
+    print("worklist stats:", stats_wl)
+
+    o_d, d_d = jnp.asarray(o), jnp.asarray(d)
+    tmin = jnp.asarray(tmin_np)
+    tmax = jnp.asarray(tmax_np)
+    result = {"scene": scene, "res": res, "n_rays": n, "uv_fast": uv_fast}
+    for name, isec in isecs.items():
+        fence(isec(o_d, d_d, tmin, tmax))
+        k = 6
+        best = None
+        for _ in range(2):
+            oo = o_d
+            t0 = time.perf_counter()
+            h = None
+            for _i in range(k):
+                h = isec(oo, d_d, tmin, tmax)
+                oo = o_d + 0.0 * h.t[:, None]
+            fence(h)
+            dt = (time.perf_counter() - t0) / k
+            best = dt if best is None else min(best, dt)
+        roof = roofline(models[name]["total"], models[name]["bytes"], best)
+        roof.pop("mfu_note", None)
+        entry = {
+            "ms": round(best * 1e3, 1),
+            "analytic_gflop": round(models[name]["total"] / 1e9, 2),
+            "analytic_gb": round(models[name]["bytes"] / 1e9, 3),
+            **roof,
+            "mfu_kind": "analytic (kernel pass-count model, "
+                        "utils/kernel_flops.py)",
+        }
+        result[name] = entry
+        print(name, json.dumps(entry), flush=True)
+    result["speedup"] = round(
+        result["worklist"]["ms"] / result["regroup"]["ms"], 3)
+    print(json.dumps(result))
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
