@@ -130,10 +130,21 @@ def main() -> None:
         # its own key in BENCH_HEAVY.json.
         import subprocess
 
+        failed = {}
         for name in names:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), name], check=True
-            )
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name]
+            ).returncode
+            if rc != 0:
+                # record and continue: aborting here left the remaining
+                # scenes' BENCH_HEAVY entries silently stale (advisor r3)
+                failed[name] = rc
+                print(f"bench_heavy: {name} FAILED rc={rc}; continuing",
+                      flush=True)
+        if failed:
+            print(f"bench_heavy: failed scenes (entries NOT refreshed): "
+                  f"{failed}", flush=True)
+            sys.exit(1)
         return
     results = {}
     if os.path.exists(out_path):

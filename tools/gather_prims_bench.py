@@ -24,14 +24,25 @@ import numpy as np
 
 
 def timeit(fn, *args, n=10):
+    """Fences EVERY iteration and subtracts the measured fence
+    round-trip (advisor r3: a tail-only fence under-reports unless the
+    runtime drains FIFO, which axon does not guarantee)."""
+    import jax.numpy as jnp
+
     from julia_raytracer_tpu.utils.timing import fence
 
-    out = fence(fn(*args))
+    fence(fn(*args))
+    probe = jnp.zeros(8)
+    fence(probe + 1.0)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        fence(probe + 1.0)
+    rt = (time.perf_counter() - t0) / 4
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    fence(out)
-    return (time.perf_counter() - t0) / n
+        fence(fn(*args))
+    per = (time.perf_counter() - t0) / n
+    return max(per - rt, per * 0.05)
 
 
 def main():

@@ -10,9 +10,9 @@ Tolerance ladder (documented per VERDICT r1 #6):
   0.030        scenes with one stripped asset (shape or texture blob in
                the corpus is absent; loader substitutes an empty shape /
                mid-gray texture, a REAL image difference, flagged)
-  0.040-0.060  heavy scenes rendered at low spp and/or with multiple
-               stripped assets; the bound still catches gross breakage
-               (wrong lighting/geometry is >= 0.1 MSE in practice)
+  <= 0.030     ceiling for every scene since round 4 (the weak tail was
+               raised to 48-64 spp once full-frame dispatch got cheap);
+               wrong lighting/geometry is >= 0.1 MSE in practice
 
 env_compat scenes: the reference's HDR loader is broken ("#todo fix
 wrong values", src/scene.jl:166-171 — Julia `load` returns values
@@ -53,16 +53,16 @@ SCENES = {
     "features1": (192, 32, 8, 0.015, ""),
     "features2": (192, 32, 8, 0.030, "missing shapes: hairball, displacedsubdiv"),
     "coffee": (192, 32, 8, 0.015, ""),
-    "staircase1": (160, 32, 8, 0.045, "3 placeholder textures"),
+    "staircase1": (160, 48, 8, 0.030, "3 placeholder textures"),
     "staircase2": (200, 32, 8, 0.030, ""),
     "classroom": (192, 256, 8, 0.012, "converges monotonically to golden: MSE 0.0050 @256spp, 0.0028 @512 (CONVERGENCE_r03.json)"),
     "livingroom1": (192, 48, 8, 0.030, "1 placeholder texture; env_compat"),
-    "livingroom2": (160, 24, 6, 0.040, "1 placeholder texture + 1 missing shape"),
-    "livingroom3": (160, 16, 6, 0.045, "1 placeholder texture"),
-    "bathroom1": (160, 48, 6, 0.040, "3 placeholder textures"),
-    "bathroom2": (160, 16, 6, 0.045, "1 placeholder texture + 1 missing shape"),
+    "livingroom2": (160, 64, 6, 0.030, "1 placeholder texture + 1 missing shape"),
+    "livingroom3": (160, 64, 6, 0.030, "1 placeholder texture"),
+    "bathroom1": (160, 64, 6, 0.030, "3 placeholder textures"),
+    "bathroom2": (160, 64, 6, 0.030, "1 placeholder texture + 1 missing shape"),
     "kitchen": (160, 256, 8, 0.012, "1 placeholder texture; converges monotonically to golden: MSE 0.0065 @256spp, 0.0044 @512 (CONVERGENCE_r03.json)"),
-    "ecosys": (160, 16, 4, 0.050, "2 missing shapes"),
+    "ecosys": (160, 48, 4, 0.030, "2 missing shapes"),
 }
 
 FAST = [

@@ -25,12 +25,22 @@ from julia_raytracer_tpu.utils import rng as rng_mod
 
 
 def timeit(fn, *args, n=5):
+    """Chained timing: each iteration's first argument is perturbed by a
+    zero-scaled function of the previous output, so the tail fence
+    provably waits for ALL n dispatches (advisor r3: an unchained loop
+    under-reports by up to n x if the runtime does not drain FIFO)."""
+    import jax.numpy as jnp
+
     from julia_raytracer_tpu.utils.timing import fence
 
-    fence(fn(*args))
+    out = fence(fn(*args))
+    lead = jax.tree.leaves(out)[0]
+    probe = (lead.reshape(-1)[0] * 0.0).astype(args[0].dtype)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
+        out = fn(args[0] + probe, *args[1:])
+        probe = (jax.tree.leaves(out)[0].reshape(-1)[0] * 0.0).astype(
+            args[0].dtype)
     fence(out)
     return (time.perf_counter() - t0) / n
 
