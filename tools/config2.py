@@ -44,7 +44,8 @@ def run(name: str) -> dict:
     r = Renderer(scene, params)
     state = make_trace_state(scene, params)
     t0 = time.time()
-    state = r.trace_samples(state)
+    while state.samples < params.samples:
+        state = r.trace_samples(state)
     fence(state.image)
     wall = time.time() - t0
     img = r.get_image(state)

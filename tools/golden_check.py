@@ -143,7 +143,11 @@ def run(name: str) -> tuple[float, float, bool, float]:
     r = Renderer(scene, params)
     state = make_trace_state(scene, params)
     t0 = time.time()
-    state = r.trace_samples(state)
+    # trace_samples advances ONE batch; loop to the full spp target
+    # (a single call silently rendered min(spp, batch) samples — every
+    # >32 spp scene in the r2 table was actually compared at 32)
+    while state.samples < params.samples:
+        state = r.trace_samples(state)
     img = r.get_image(state)
     dt = time.time() - t0
     ours = np.clip(np.asarray(rgb_to_srgb(img))[..., :3], 0, 1)
