@@ -77,9 +77,11 @@ N_CHUNK_ROWS = 40          # 9 planes x 4 byte-chunks, padded to sublane 8
 
 # static packed capacity in 128-slot blocks (incl. slack); overflow ->
 # worklist fallback. 24576 blocks = 3.1M slots ~ 100 MB of packed rays.
-DEF_BLK_CAP = int(os.environ.get("JRT_RG_BLKCAP") or 24576)
-# ray blocks per chunk: bounds the count-stage transients
-RG_CHUNK_BLOCKS = 144
+DEF_BLK_CAP = int(os.environ.get("JRT_RG_BLKCAP") or 49152)
+# ray blocks per chunk: bounds the count-stage transients. 288 covers a
+# full 720p dispatch in ONE chunk (two chunks pay the pack/unpack fixed
+# costs twice); raise JRT_RG_BLKCAP together with it.
+RG_CHUNK_BLOCKS = int(os.environ.get("JRT_RG_CHUNK") or 288)
 
 
 def _make_pack_kernel(S: int, blk_cap: int):

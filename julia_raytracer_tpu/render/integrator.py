@@ -908,9 +908,14 @@ def trace_wavefront(
 
         # ---- weight updates
         if is_path:
+            # the pdf's extra marches re-trace TOWARD the sampled lights:
+            # directionally convergent rays whose block footprints are
+            # near their per-ray footprints, so they take the coherent
+            # (primary) kernel — routing them through the regroup path
+            # erased its bounce-dispatch win on kitchen (end-to-end A/B)
             lights_pdf = (
                 lights_mod.sample_lights_pdf(
-                    dscene, dscene.lights, counts, intersect,
+                    dscene, dscene.lights, counts, intersect_primary,
                     new_ro, new_rd, nxt,
                     extra_steps=options.light_pdf_extra_steps,
                 )
