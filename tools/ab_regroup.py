@@ -14,6 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ON_TPU = "--tpu" in sys.argv
 if not ON_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
+# exactness harness: pin the regroup kernel to full-precision u/v range
+# tests so hit/prim comparisons stay bit-level (JRT_RG_UVFAST defaults
+# on for production renders; its golden-level validation lives in
+# PERF_r04.md)
+os.environ.setdefault("JRT_RG_UVFAST", "0")
 
 import jax
 import jax.numpy as jnp
