@@ -77,11 +77,11 @@ N_CHUNK_ROWS = 40          # 9 planes x 4 byte-chunks, padded to sublane 8
 
 # static packed capacity in 128-slot blocks (incl. slack); overflow ->
 # worklist fallback. 24576 blocks = 3.1M slots ~ 100 MB of packed rays.
-DEF_BLK_CAP = int(os.environ.get("JRT_RG_BLKCAP") or 49152)
-# ray blocks per chunk: bounds the count-stage transients. 288 covers a
-# full 720p dispatch in ONE chunk (two chunks pay the pack/unpack fixed
-# costs twice); raise JRT_RG_BLKCAP together with it.
-RG_CHUNK_BLOCKS = int(os.environ.get("JRT_RG_CHUNK") or 288)
+# JRT_RG_BLKCAP / JRT_RG_CHUNK are read at BUILD time inside
+# make_cluster_intersect_regroup (ADVICE r4: an import-time read made
+# harness-set env vars silently inert); these are only the defaults.
+DEF_BLK_CAP = 49152
+DEF_RG_CHUNK_BLOCKS = 288
 
 
 def _make_pack_kernel(S: int, blk_cap: int):
@@ -485,10 +485,12 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
                                    prim_instance=None,
                                    interpret: bool = False,
                                    cache_key: str = "",
-                                   blk_cap: int = DEF_BLK_CAP):
+                                   blk_cap: int | None = None):
     """Regroup intersector -> Hit; drop-in for
     make_cluster_intersect_worklist (same tables triple + a lower-
     triangular pack constant). Reference hot loop: src/bvh.jl:306-371."""
+    if blk_cap is None:  # env read at build time, not import (ADVICE r4)
+        blk_cap = int(os.environ.get("JRT_RG_BLKCAP") or DEF_BLK_CAP)
     sup = WL_SUPER
     q = len(prim_verts_np)
     tfm, nrm, bbox, n_clusters = _load_tables(prim_verts_np, prim_instance, cache_key)
@@ -525,6 +527,13 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
 
     S = n_super
     rows_cap = max(GRP, (blk_cap - S * SLACK - SLACK) // GRP * GRP)
+
+    # ray blocks per chunk: bounds the count-stage transients (the bits
+    # tensor is [nb, S, 8, 128] f32 = nb*S*4 KiB). 288 covers a full
+    # 720p dispatch in ONE chunk; for very large S the chunk scales
+    # down to keep bits <= ~300 MB (ADVICE r4). Env read at build time.
+    rg_chunk_blocks = int(os.environ.get("JRT_RG_CHUNK") or DEF_RG_CHUNK_BLOCKS)
+    rg_chunk_blocks = max(16, min(rg_chunk_blocks, 73000 // max(S, 1)))
 
     # worklist fallback for W / capacity overflow (shares the table cache)
     fallback = make_cluster_intersect_worklist(
@@ -802,8 +811,21 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             return merge(outu)
 
         def fb(_):
-            h = fallback.impl_chunk(comps, nb, (tab_t, bbox_t, sbbox_t))
-            return h
+            # sub-chunk with the worklist's S-scaled size so its
+            # [chunk_rays, S] precull temporaries stay bounded for
+            # large S (ADVICE r4: one 288-block call bypassed that cap)
+            fb_blocks = max(16, min(nb, (256 * 192) // max(S, 1)))
+            parts = []
+            for lo in range(0, nb, fb_blocks):
+                hi = min(lo + fb_blocks, nb)
+                cc = [c[lo * ROWS:hi * ROWS] for c in comps]
+                parts.append(
+                    fallback.impl_chunk(cc, hi - lo, (tab_t, bbox_t, sbbox_t))
+                )
+            if len(parts) == 1:
+                return parts[0]
+            return (jnp.concatenate([p[0] for p in parts], axis=0),
+                    jnp.concatenate([p[1] for p in parts], axis=0))
 
         return jax.lax.cond(overflow, fb, regroup, None)
 
@@ -826,8 +848,8 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             prep(tmax, fill=-1.0),
         ]
         parts_f, parts_i = [], []
-        for blo in range(0, nblocks, RG_CHUNK_BLOCKS):
-            bhi = min(blo + RG_CHUNK_BLOCKS, nblocks)
+        for blo in range(0, nblocks, rg_chunk_blocks):
+            bhi = min(blo + rg_chunk_blocks, nblocks)
             nb = bhi - blo
             rsel = slice(blo * ROWS, bhi * ROWS)
             ccomp = [c[rsel] for c in comps]
@@ -861,7 +883,7 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
 
         tab_t, bbox_t, sbbox_t, lt128_t, l8_t = default_tables
         n = ro.shape[0]
-        nb = min(-(-n // BLOCK_RAYS), RG_CHUNK_BLOCKS)
+        nb = min(-(-n // BLOCK_RAYS), rg_chunk_blocks)
         n_use = nb * BLOCK_RAYS
         if n < n_use:
             raise ValueError("debug_profile wants >= one full chunk")

@@ -24,8 +24,14 @@ def fence(x):
         # different dispatches, and a local ready-event proves nothing
         # about the others. Indexed directly (no ravel: a full-buffer
         # ravel dispatches an extra whole-array copy inside the
-        # measured region).
-        np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+        # measured region). Zero-size leaves have no element to read;
+        # non-array leaves (Python scalars) need no fence.
+        if getattr(leaf, "size", 1) == 0:
+            continue
+        try:
+            np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+        except TypeError:
+            np.asarray(leaf)
     return x
 
 

@@ -42,7 +42,7 @@ def curve(name: str, max_spp: int = 512):
     from julia_raytracer_tpu.scene.loader import load_scene
     from julia_raytracer_tpu.utils.color import rgb_to_srgb
 
-    res, _, bounces, tol, flags = SCENES[name]
+    res, _, bounces, tol, _budget, flags = SCENES[name]
     scene_path = f"/root/reference/scenes/{name}/{name}.json"
     scene = load_scene(scene_path)
     if "env_compat" in flags:

@@ -44,30 +44,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from PIL import Image
 
-# name: (resolution, spp, bounces, mse_tolerance, stripped-asset flags)
+# name: (resolution, spp, bounces, mse_tolerance, time_budget_s, flags)
+#
+# time_budget_s gates WALL TIME as well as MSE (VERDICT r4 item 1: a
+# 7.6x features1 perf regression sailed through an MSE-only table).
+# Budgets are ~3x a healthy-session render (r04 sweep times; features1
+# from the r05 re-measure — its r04 348 s was a tunnel stall, not code:
+# same scene measured 26-44 s across warm/cold/regroup/worklist in r05).
+# 3x absorbs tunnel variance between sessions; a stall- or
+# default-regression-class slowdown (>3x) FAILS the table.
 SCENES = {
-    "cornellbox": (128, 64, 8, 0.006, ""),
-    "materials1": (256, 48, 8, 0.006, ""),
-    "materials2": (256, 48, 8, 0.010, ""),
-    "materials4": (256, 48, 8, 0.012, ""),
-    "shapes1": (256, 48, 8, 0.012, ""),
-    "shapes2": (256, 32, 8, 0.030, "missing shape: displacedsubdiv"),
-    "features1": (192, 32, 8, 0.015, ""),
-    "features2": (192, 32, 8, 0.030, "missing shapes: hairball, displacedsubdiv"),
-    "coffee": (192, 32, 8, 0.015, ""),
-    "staircase1": (160, 48, 8, 0.030, "3 placeholder textures"),
-    "staircase2": (200, 32, 8, 0.030, ""),
-    "classroom": (192, 256, 8, 0.012, "converges monotonically to golden: MSE 0.0050 @256spp, 0.0028 @512 (CONVERGENCE_r03.json)"),
-    "livingroom1": (192, 48, 8, 0.030, "1 placeholder texture; env_compat"),
-    "livingroom2": (160, 64, 6, 0.030, "1 placeholder texture + 1 missing shape"),
-    "livingroom3": (160, 64, 6, 0.030, "1 placeholder texture"),
-    "bathroom1": (160, 64, 6, 0.030, "3 placeholder textures"),
-    "bathroom2": (160, 64, 6, 0.030, "1 placeholder texture + 1 missing shape"),
-    "kitchen": (160, 256, 8, 0.012, "1 placeholder texture; converges monotonically to golden: MSE 0.0065 @256spp, 0.0044 @512 (CONVERGENCE_r03.json)"),
+    "cornellbox": (128, 64, 8, 0.006, 30, ""),
+    "materials1": (256, 48, 8, 0.006, 70, ""),
+    "materials2": (256, 48, 8, 0.010, 80, ""),
+    "materials4": (256, 48, 8, 0.012, 85, ""),
+    "shapes1": (256, 48, 8, 0.012, 70, ""),
+    "shapes2": (256, 32, 8, 0.030, 45, "missing shape: displacedsubdiv"),
+    "features1": (192, 32, 8, 0.015, 120, ""),
+    "features2": (192, 32, 8, 0.030, 45, "missing shapes: hairball, displacedsubdiv"),
+    "coffee": (192, 32, 8, 0.015, 50, ""),
+    "staircase1": (160, 48, 8, 0.030, 45, "3 placeholder textures"),
+    "staircase2": (200, 32, 8, 0.030, 90, ""),
+    "classroom": (192, 256, 8, 0.012, 2200, "converges monotonically to golden: MSE 0.0050 @256spp, 0.0028 @512 (CONVERGENCE_r03.json)"),
+    "livingroom1": (192, 48, 8, 0.030, 120, "1 placeholder texture; env_compat"),
+    "livingroom2": (160, 64, 6, 0.030, 80, "1 placeholder texture + 1 missing shape"),
+    "livingroom3": (160, 64, 6, 0.030, 70, "1 placeholder texture"),
+    "bathroom1": (160, 64, 6, 0.030, 70, "3 placeholder textures"),
+    "bathroom2": (160, 64, 6, 0.030, 80, "1 placeholder texture + 1 missing shape"),
+    "kitchen": (160, 256, 8, 0.012, 4900, "1 placeholder texture; converges monotonically to golden: MSE 0.0065 @256spp, 0.0044 @512 (CONVERGENCE_r03.json)"),
     # ecosys floor is the 2 stripped terrain shapes (REAL missing
     # geometry, unmaskable): MSE converges 0.0387 @32spp -> 0.0379
     # @48spp — geometry-floored, not noise-floored. The only tol > 0.03.
-    "ecosys": (160, 48, 4, 0.040, "2 missing shapes"),
+    "ecosys": (160, 48, 4, 0.040, 400, "2 missing shapes"),
 }
 
 FAST = [
@@ -125,13 +133,19 @@ def run(name: str) -> tuple[float, float, bool, float]:
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        os.environ.get(
+            "JRT_CACHE_DIR",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        ),
     )
     from julia_raytracer_tpu.render.renderer import Params, Renderer, make_trace_state
     from julia_raytracer_tpu.scene.loader import load_scene
     from julia_raytracer_tpu.utils.color import rgb_to_srgb
 
-    res, spp, bounces, tol, flags = SCENES[name]
+    res, spp, bounces, tol, budget_s, flags = SCENES[name]
     scene_path = f"/root/reference/scenes/{name}/{name}.json"
     scene = load_scene(scene_path)
     if "env_compat" in flags:
@@ -173,7 +187,7 @@ def run(name: str) -> tuple[float, float, bool, float]:
     else:
         mse = float(err.mean())
         mask_frac = 0.0
-    return mse, dt, mse < tol, mask_frac
+    return mse, dt, mse < tol and dt < budget_s, mask_frac
 
 
 def main():
@@ -195,13 +209,15 @@ def main():
             print(f"{name:12s}  ERROR {type(e).__name__}: {e}")
             results.append((name, float("nan"), 0.0, False, 0.0))
             continue
-        flags = SCENES[name][4]
+        flags = SCENES[name][5]
         results.append((name, mse, dt, ok, mask_frac))
         masked = f"  masked {mask_frac*100:.1f}%" if mask_frac else ""
+        t_ok = dt < SCENES[name][4]
         print(
             f"{name:12s}  MSE {mse:8.5f}  tol {SCENES[name][3]:.3f}  "
-            f"{'PASS' if ok else 'FAIL'}  ({dt:7.1f}s render){masked}"
-            + (f"  [{flags}]" if flags else "")
+            f"{'PASS' if ok else 'FAIL'}  ({dt:7.1f}s render, "
+            f"budget {SCENES[name][4]}s{'' if t_ok else ' TIME-FAIL'})"
+            f"{masked}" + (f"  [{flags}]" if flags else "")
         )
     failed = [n for n, _, _, ok, _ in results if not ok]
     print(f"\n{len(results) - len(failed)}/{len(results)} passed")
@@ -214,7 +230,9 @@ def main():
                 "render_s": round(dt, 1),
                 "resolution": SCENES[n][0],
                 "spp": SCENES[n][1],
-                "flags": SCENES[n][4],
+                "time_budget_s": SCENES[n][4],
+                "time_pass": dt < SCENES[n][4],
+                "flags": SCENES[n][5],
                 "masked_frac": round(mf, 4),
             }
             for n, m, dt, ok, mf in results
