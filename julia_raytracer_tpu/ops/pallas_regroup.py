@@ -535,6 +535,14 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
     rg_chunk_blocks = int(os.environ.get("JRT_RG_CHUNK") or DEF_RG_CHUNK_BLOCKS)
     rg_chunk_blocks = max(16, min(rg_chunk_blocks, 73000 // max(S, 1)))
 
+    # liveness gate: below this alive fraction the worklist fallback is
+    # faster than regroup's fixed count/pack/unpack floor. Measured
+    # crossover ~0.4-0.5 alive on kitchen bounce rays with dead lanes at
+    # tmax<0 (tools/liveness_ab.py: alive 0.5 -> 194 rg vs 200 wl ms;
+    # 0.25 -> 139 vs 106; 0.03 -> 99 vs 50). Dead lanes are detected by
+    # tmax <= 0 (render/integrator.py dispatches dead lanes at -1).
+    livegate = float(os.environ.get("JRT_RG_LIVEGATE", "0.45"))
+
     # worklist fallback for W / capacity overflow (shares the table cache)
     fallback = make_cluster_intersect_worklist(
         prim_verts_np, prim_instance, interpret=interpret, cache_key=cache_key
@@ -827,7 +835,13 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             return (jnp.concatenate([p[0] for p in parts], axis=0),
                     jnp.concatenate([p[1] for p in parts], axis=0))
 
-        return jax.lax.cond(overflow, fb, regroup, None)
+        use_fb = overflow
+        if livegate > 0.0:
+            live = jnp.sum((comps[7] > 0.0).astype(jnp.int32))
+            use_fb = use_fb | (
+                live < jnp.int32(int(livegate * nb * BLOCK_RAYS))
+            )
+        return jax.lax.cond(use_fb, fb, regroup, None)
 
     def _intersect_impl(ro, rd, tmin, tmax, tables):
         tab_t, bbox_t, sbbox_t, lt128_t, l8_t = tables

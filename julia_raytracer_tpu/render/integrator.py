@@ -266,6 +266,10 @@ def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
 
     intersect.tables = default_tables
     intersect.wants_tables = True
+    # branch handles for diagnostics (tools/profile_ecosys.py splits the
+    # hybrid's time between the flat soup and the work-item kernel)
+    intersect.flat_part = flat_part
+    intersect.inst_part = inst_part
     return intersect
 
 
@@ -902,8 +906,17 @@ def trace_wavefront(
                 s.idx,
             )
 
-        # ---- ONE traversal: next bounce's hit + light-pdf march step 1
-        tmax = jnp.where(alive, F32_MAX, RAY_EPS)
+        # ---- ONE traversal: next bounce's hit + light-pdf march step 1.
+        # Dead lanes carry tmax = -1, NOT RAY_EPS: a dead ray whose
+        # origin sits inside a bbox still passes the slab test at tiny
+        # positive tmax (enter clamps to tmin < exit), so dead tails
+        # kept generating precull pairs / pack rows every bounce.
+        # tmax < 0 makes the slab test unconditionally false — measured
+        # (tools/liveness_ab.py, kitchen 512px): worklist 130->72 ms and
+        # regroup 157->114 ms at 10% alive. No consumer reads dead
+        # lanes' t (every accumulation is gated on `alive`), and
+        # exp(-density * t) stays finite for t < 0.
+        tmax = jnp.where(alive, F32_MAX, -1.0)
         nxt = intersect(new_ro, new_rd, jnp.full(n, RAY_EPS), tmax)
 
         # ---- weight updates
