@@ -205,9 +205,37 @@ def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
                 hyb_key = f"{config.cache_key}:hybf{len(wpv)}-{fp}"
             else:
                 hyb_key = ""
-            flat_part = make_cluster_intersect_worklist(
-                wpv, winst, cache_key=hyb_key
-            )
+            # the flat soup takes the same per-scene kernel selection as
+            # the non-instanced path (ecosys soup: 8M world prims,
+            # S~490 — exactly the divergence regime regroup targets)
+            rg_mode = os.environ.get("JRT_REGROUP", "auto")
+            want_rg = False
+            if len(wpv) >= REGROUP_MIN_PRIMS and rg_mode != "0":
+                if rg_mode == "auto":
+                    from julia_raytracer_tpu.utils.kernel_select import (
+                        select_bounce_kernel,
+                    )
+
+                    sel = select_bounce_kernel(wpv, winst, hyb_key)
+                    print(
+                        f"hybrid flat kernel: {sel['kernel']} (predicted "
+                        f"ratio {sel['ratio']})", flush=True,
+                    )
+                    want_rg = sel["kernel"] == "regroup"
+                else:
+                    want_rg = True
+            if want_rg:
+                from julia_raytracer_tpu.ops.pallas_regroup import (
+                    make_cluster_intersect_regroup,
+                )
+
+                flat_part = make_cluster_intersect_regroup(
+                    wpv, winst, cache_key=hyb_key
+                )
+            else:
+                flat_part = make_cluster_intersect_worklist(
+                    wpv, winst, cache_key=hyb_key
+                )
         inst_part = (
             make_cluster_intersect_instanced(tables) if has_items else None
         )
@@ -230,42 +258,56 @@ def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
     inst_tables_d = getattr(inst_part, "tables", None)
     default_tables = (flat_tables, inst_tables_d, remap_d)
 
-    def intersect(ro, rd, tmin, tmax, tables=None):
-        flat_t, inst_t, remap_t = tables if tables is not None else default_tables
-        if flat_tables is not None:
-            h1 = flat_part(ro, rd, tmin, tmax, tables=flat_t)
-        else:
-            h1 = flat_part(ro, rd, tmin, tmax)
-        prim1 = jnp.where(
-            h1.hit, jnp.take(remap_t, jnp.maximum(h1.prim, 0)), -1
-        )
-        if inst_part is None:
-            return h1._replace(prim=prim1)
-        # strict-improvement tmax: the instanced branch only reports hits
-        # closer than the flat branch's best
-        t_cut = jnp.where(h1.hit, h1.t * jnp.float32(1.0000002), tmax)
-        if inst_tables_d is not None:
-            h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut),
-                           tables=inst_t)
-        else:
-            h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut))
-        take2 = h2.hit
-        sel = lambda a, b: jnp.where(take2, a, b)
-        selv = lambda a, b: jnp.where(take2[:, None], a, b)
-        hit = h1.hit | take2
-        return Hit(
-            hit=hit,
-            prim=sel(h2.prim, prim1),
-            u=sel(h2.u, h1.u),
-            v=sel(h2.v, h1.v),
-            t=jnp.where(hit, sel(h2.t, h1.t), tmax),
-            position=selv(h2.position, h1.position),
-            gnormal=selv(h2.gnormal, h1.gnormal),
-            instance=sel(h2.instance, h1.instance),
-        )
+    def _compose(flatfn):
+        def intersect(ro, rd, tmin, tmax, tables=None):
+            flat_t, inst_t, remap_t = (
+                tables if tables is not None else default_tables
+            )
+            if flat_tables is not None:
+                h1 = flatfn(ro, rd, tmin, tmax, tables=flat_t)
+            else:
+                h1 = flatfn(ro, rd, tmin, tmax)
+            prim1 = jnp.where(
+                h1.hit, jnp.take(remap_t, jnp.maximum(h1.prim, 0)), -1
+            )
+            if inst_part is None:
+                return h1._replace(prim=prim1)
+            # strict-improvement tmax: the instanced branch only reports
+            # hits closer than the flat branch's best
+            t_cut = jnp.where(h1.hit, h1.t * jnp.float32(1.0000002), tmax)
+            if inst_tables_d is not None:
+                h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut),
+                               tables=inst_t)
+            else:
+                h2 = inst_part(ro, rd, tmin, jnp.minimum(tmax, t_cut))
+            take2 = h2.hit
+            sel = lambda a, b: jnp.where(take2, a, b)
+            selv = lambda a, b: jnp.where(take2[:, None], a, b)
+            hit = h1.hit | take2
+            return Hit(
+                hit=hit,
+                prim=sel(h2.prim, prim1),
+                u=sel(h2.u, h1.u),
+                v=sel(h2.v, h1.v),
+                t=jnp.where(hit, sel(h2.t, h1.t), tmax),
+                position=selv(h2.position, h1.position),
+                gnormal=selv(h2.gnormal, h1.gnormal),
+                instance=sel(h2.instance, h1.instance),
+            )
 
+        return intersect
+
+    intersect = _compose(flat_part)
     intersect.tables = default_tables
     intersect.wants_tables = True
+    # coherent primary dispatches route the flat soup through its
+    # worklist fallback when the regroup kernel was selected (same
+    # rationale as build_intersector's .primary routing)
+    if hasattr(flat_part, "primary"):
+        primary = _compose(flat_part.primary)
+        primary.tables = default_tables
+        primary.wants_tables = True
+        intersect.primary = primary
     # branch handles for diagnostics (tools/profile_ecosys.py splits the
     # hybrid's time between the flat soup and the work-item kernel)
     intersect.flat_part = flat_part
@@ -423,8 +465,31 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
                 make_bruteforce_pallas(np.asarray(verts_np), inst_np),
                 dscene, config,
             )
-        if (os.environ.get("JRT_REGROUP", "1") == "1"
-                and config.n_prims >= REGROUP_MIN_PRIMS):
+        rg_mode = os.environ.get("JRT_REGROUP", "auto")
+        want_regroup = False
+        if config.n_prims >= REGROUP_MIN_PRIMS and rg_mode != "0":
+            if rg_mode == "auto":
+                # per-scene data-driven choice (utils/kernel_select.py,
+                # VERDICT r4 item 5): predicted regroup/worklist dispatch
+                # ratio from exact pass-count mirrors on surface-sampled
+                # bounce rays; regroup only on a decisive (<0.35) win.
+                # Disk-cached per scene content key; decision logged.
+                from julia_raytracer_tpu.utils.kernel_select import (
+                    select_bounce_kernel,
+                )
+
+                sel = select_bounce_kernel(
+                    np.asarray(verts_np), inst_np, config.cache_key
+                )
+                print(
+                    f"bounce kernel: {sel['kernel']} (predicted "
+                    f"regroup/worklist ratio {sel['ratio']}, threshold "
+                    f"{sel['threshold']})", flush=True,
+                )
+                want_regroup = sel["kernel"] == "regroup"
+            else:
+                want_regroup = True
+        if want_regroup:
             # supercluster ray regrouping (ops/pallas_regroup.py): packs
             # divergent bounce rays into single-super rows so the sweep
             # never pays a block's footprint union (kitchen bounce
@@ -522,6 +587,7 @@ def trace_wavefront(
     rng_state,
     intersect=None,
     intersect_primary=None,
+    alive_trace: bool = False,
 ):
     """Trace a batch of rays to completion.
 
@@ -638,6 +704,10 @@ def trace_wavefront(
     )
 
     def body(s: S) -> S:
+        # width-polymorphic: the two-phase compaction (below) re-enters
+        # this body with a narrowed survivor buffer, so every lane-shaped
+        # constant derives from the state, not the closure n
+        n = s.alive.shape[0]
         alive = s.alive
         bounce = jnp.where(alive, s.bounce + 1, s.bounce)
         rng = s.rng
@@ -916,7 +986,9 @@ def trace_wavefront(
         # regroup 157->114 ms at 10% alive. No consumer reads dead
         # lanes' t (every accumulation is gated on `alive`), and
         # exp(-density * t) stays finite for t < 0.
-        tmax = jnp.where(alive, F32_MAX, -1.0)
+        # JRT_DEAD_EPS=1 restores the r4 behavior (A/B harness only).
+        dead_tmax = RAY_EPS if os.environ.get("JRT_DEAD_EPS") == "1" else -1.0
+        tmax = jnp.where(alive, F32_MAX, dead_tmax)
         nxt = intersect(new_ro, new_rd, jnp.full(n, RAY_EPS), tmax)
 
         # ---- weight updates
@@ -1060,15 +1132,65 @@ def trace_wavefront(
     def cond(s: S):
         return jnp.any(s.alive)
 
-    if options.fixed_iterations > 0:
+    if alive_trace:
+        # diagnostics (tools/alive_profile.py): fixed-trip scan emitting
+        # the per-iteration alive count — sizes the dead-lane work the
+        # while_loop pays running every lane to the LAST survivor
+        def step_dbg(s, _):
+            ns = body(s)
+            return ns, jnp.sum(ns.alive.astype(jnp.int32))
+
+        final, alive_counts = jax.lax.scan(
+            step_dbg, state, None, length=options.bounces + 10
+        )
+    elif options.fixed_iterations > 0:
         # fixed-trip scan: reverse-mode differentiable; remat each bounce so
         # backward memory stays O(state) per iteration instead of O(residuals)
         step = jax.checkpoint(lambda s, _: (body(s), None))
         final, _ = jax.lax.scan(step, state, None, length=options.fixed_iterations)
+    elif (os.environ.get("JRT_COMPACT", "1") == "1" and n >= 16384):
+        # two-phase dispatch (VERDICT r4 item 4): the while_loop runs
+        # EVERY lane to the LAST survivor's bounce, but the alive
+        # fraction collapses fast (cornellbox 512px, tools/
+        # alive_profile.py: [0.93, 0.35, 0.16, 0.07, 0.01, ...] — ideal
+        # compaction speedup 3.6x). Phase A runs k full-width
+        # iterations; survivors (measured ~7% at k=3, cap is 25%) are
+        # compacted into an n/4 buffer for the tail loop and scattered
+        # back. Dead lanes' outputs are final by construction (the
+        # single-loop design already relied on that invariant), so the
+        # image is bit-identical. If survivors ever exceed the cap, a
+        # lax.cond continues full-width instead — never drops a path.
+        k = jnp.int32(int(os.environ.get("JRT_COMPACT_AFTER", "3")))
+        cap = max(4096, n // 4)
+
+        def bodyA(c):
+            s, i = c
+            return body(s), i + 1
+
+        stateA, _ = jax.lax.while_loop(
+            lambda c: (c[1] < k) & jnp.any(c[0].alive),
+            bodyA, (state, jnp.int32(0)),
+        )
+        n_alive = jnp.sum(stateA.alive.astype(jnp.int32))
+        perm = jnp.argsort(~stateA.alive)  # stable: alive-first
+
+        def narrow(sA):
+            sel = perm[:cap]
+            sN = jax.tree_util.tree_map(lambda a: a[sel], sA)
+            fN = jax.lax.while_loop(cond, body, sN)
+            return jax.tree_util.tree_map(
+                lambda full, nar: full.at[sel].set(nar), sA, fN)
+
+        def full_width(sA):
+            return jax.lax.while_loop(cond, body, sA)
+
+        final = jax.lax.cond(n_alive <= cap, narrow, full_width, stateA)
     else:
         final = jax.lax.while_loop(cond, body, state)
     outs = (final.radiance, final.hit_flag, final.hit_albedo, final.hit_normal, final.rng)
     if do_sort:
         inv = jnp.argsort(final.idx)
         outs = jax.tree_util.tree_map(lambda a: a[inv], outs)
+    if alive_trace:
+        return outs + (alive_counts,)
     return outs

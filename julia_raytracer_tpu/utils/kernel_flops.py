@@ -106,32 +106,39 @@ def regroup_dispatch_stats(o, d, tmin, tmax, cbbox, sup: int = SUP) -> dict:
     cnt_ts = bt.sum(axis=1)                          # [tiles, S]
     pairs_live = int((cnt_ts > 0).sum())
     # touched window blocks per live pair: depends on the running lane
-    # offset; reproduce the cursor walk
+    # offset; reproduce the cursor walk (vectorized over tiles per super)
     touched = 0
     rows = 0
     passes = 0
     groups_live = 0
     for s in range(s_count):
-        cur = 0
-        for t in range(n_tiles):
-            cnt = int(cnt_ts[t, s])
-            if cnt == 0:
-                continue
-            off = cur % LANES
-            touched += (off + cnt - 1) // LANES + 1
-            cur += cnt
+        cnts = cnt_ts[:, s]
+        live_t = cnts > 0
+        if live_t.any():
+            cur_b = np.cumsum(cnts) - cnts           # offsets before tile
+            off = cur_b[live_t] % LANES
+            c = cnts[live_t]
+            touched += int(((off + c - 1) // LANES + 1).sum())
+        cur = int(cnts.sum())
         nrow = -(-(-(-cur // LANES)) // GRP) * GRP
         rows += nrow
         if cur == 0:
             continue
         # tri-test passes: per row, clusters any ray in the row wants
-        rs = np.nonzero(bits[:, s])[0]
-        cl = _slab(o[rs], d[rs], tmin[rs], tmax[rs],
-                   cb[s * sup:(s + 1) * sup])
+        rs = np.nonzero(bits[:, s])[0]  # pad rows are all-zero: rs < n
         nr = -(-len(rs) // LANES)
         groups_live += -(-nr // GRP)
-        for r in range(nr):
-            passes += int(cl[r * LANES:(r + 1) * LANES].any(0).sum())
+        sb_s = cb[s * sup:(s + 1) * sup]
+        # 16384-ray (128-row-aligned) chunks bound the slab temporaries
+        for g in range(0, len(rs), 16384):
+            rg_ = rs[g:g + 16384]
+            cl = _slab(o[rg_], d[rg_], tmin[rg_], tmax[rg_], sb_s)
+            nr_g = -(-len(rg_) // LANES)
+            pad_r = nr_g * LANES - len(rg_)
+            if pad_r:
+                cl = np.concatenate(
+                    [cl, np.zeros((pad_r, cl.shape[1]), bool)], axis=0)
+            passes += int(cl.reshape(nr_g, LANES, -1).any(1).sum())
     return dict(
         n_rays=n, n_super=s_count, pairs_live=pairs_live,
         touched_blocks=touched, rows=rows, passes=passes,
@@ -191,13 +198,22 @@ def worklist_dispatch_stats(o, d, tmin, tmax, cbbox, sup: int = SUP) -> dict:
     pairs = 0
     for t in range(n_tiles):
         lo, hi = t * TILE, min((t + 1) * TILE, n)
-        blk = bits[lo:hi]
-        for s in np.nonzero(blk.any(0))[0]:
-            pairs += 1
-            cl = _slab(o[lo:hi], d[lo:hi], tmin[lo:hi], tmax[lo:hi],
-                       cb[s * sup:(s + 1) * sup])
-            for r in range(-(-(hi - lo) // LANES)):
-                passes += int(cl[r * LANES:(r + 1) * LANES].any(0).sum())
+        live_s = np.nonzero(bits[lo:hi].any(0))[0]
+        if not len(live_s):
+            continue
+        pairs += len(live_s)
+        nr = -(-(hi - lo) // LANES)
+        pad_r = nr * LANES - (hi - lo)
+        # live supers in 32-super chunks: bounds the [rays, C, 3] slab
+        # temporaries to ~50 MB
+        for g in range(0, len(live_s), 32):
+            ls = live_s[g:g + 32]
+            cidx = (ls[:, None] * sup + np.arange(sup)[None, :]).reshape(-1)
+            cl = _slab(o[lo:hi], d[lo:hi], tmin[lo:hi], tmax[lo:hi], cb[cidx])
+            if pad_r:
+                cl = np.concatenate(
+                    [cl, np.zeros((pad_r, cl.shape[1]), bool)], axis=0)
+            passes += int(cl.reshape(nr, LANES, -1).any(1).sum())
     return dict(n_rays=n, n_super=s_count, pairs_live=pairs, passes=passes)
 
 

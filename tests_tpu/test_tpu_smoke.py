@@ -1,0 +1,240 @@
+"""TPU smoke tier: real Mosaic lowering of every kernel family + one
+low-spp golden + determinism, in ~2-4 min warm. Each test is the
+hardware twin of an interpret-mode test in tests/ (VERDICT r4 weak #6:
+a Mosaic regression used to surface as a broken bench, not a red test).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _hits_equal(ha, hb, t_tol=1e-5):
+    import jax
+
+    ha = jax.tree.map(np.asarray, ha)
+    hb = jax.tree.map(np.asarray, hb)
+    both = ha.hit & hb.hit
+    assert (ha.hit == hb.hit).mean() > 0.9995
+    if both.any():
+        assert (ha.prim[both] == hb.prim[both]).mean() > 0.999
+        assert np.isclose(
+            ha.t[both], hb.t[both], rtol=t_tol, atol=1e-6
+        ).mean() > 0.999
+
+
+def _full_rays(n):
+    import jax.numpy as jnp
+
+    return jnp.full(n, 1e-4, jnp.float32), jnp.full(n, 3.0e38, jnp.float32)
+
+
+def test_worklist_vs_jnp_bruteforce(soup, bounce_rays):
+    """Worklist Pallas kernel == jnp brute force on a small soup slice."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        make_cluster_intersect_worklist,
+    )
+    from julia_raytracer_tpu.ops.traversal import intersect_bruteforce
+
+    pv = soup[:2048]
+    o, d = bounce_rays
+    n = len(o)
+    wl = make_cluster_intersect_worklist(pv, np.zeros(len(pv), np.int32))
+    tmin, tmax = _full_rays(n)
+    hw = wl(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    hr = intersect_bruteforce(
+        jnp.asarray(pv), jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+        prim_instance=jnp.zeros(len(pv), jnp.int32),
+    )
+    _hits_equal(hw, hr)
+
+
+def test_dense_vs_jnp_bruteforce(soup, bounce_rays):
+    """Tiny-scene dense Pallas kernel == jnp brute force."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
+    from julia_raytracer_tpu.ops.traversal import intersect_bruteforce
+
+    pv = soup[:512]
+    o, d = bounce_rays
+    n = len(o)
+    bf = make_bruteforce_pallas(pv, np.zeros(len(pv), np.int32))
+    tmin, tmax = _full_rays(n)
+    hp = bf(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    hr = intersect_bruteforce(
+        jnp.asarray(pv), jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+        prim_instance=jnp.zeros(len(pv), jnp.int32),
+    )
+    _hits_equal(hp, hr)
+
+
+def test_regroup_vs_worklist_hit_identical(soup, bounce_rays):
+    """Regroup pipeline == worklist kernel, full-liveness bounce rays
+    (exact tri-test mode pins bit-level winner comparisons)."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        make_cluster_intersect_worklist,
+    )
+    from julia_raytracer_tpu.ops.pallas_regroup import (
+        make_cluster_intersect_regroup,
+    )
+
+    o, d = bounce_rays
+    n = len(o)
+    inst = np.zeros(len(soup), np.int32)
+    os.environ["JRT_RG_UVFAST"] = "0"
+    try:
+        wl = make_cluster_intersect_worklist(soup, inst)
+        rg = make_cluster_intersect_regroup(soup, inst)
+    finally:
+        del os.environ["JRT_RG_UVFAST"]
+    tmin, tmax = _full_rays(n)
+    hw = wl(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    hr = rg(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    _hits_equal(hw, hr, t_tol=0.0)  # same sweep math -> bit-identical t
+    assert (np.asarray(hw.prim) == np.asarray(hr.prim)).all()
+
+
+def test_regroup_uvfast_winners_identical(soup, bounce_rays):
+    """JRT_RG_UVFAST=1 (single-pass bf16 u/v range tests, production
+    default) must pick the same winners as exact mode (ADVICE r4: this
+    assumption was only validated by hand-run golden renders)."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops.pallas_regroup import (
+        make_cluster_intersect_regroup,
+    )
+
+    o, d = bounce_rays
+    n = len(o)
+    inst = np.zeros(len(soup), np.int32)
+    os.environ["JRT_RG_UVFAST"] = "0"
+    try:
+        rg_exact = make_cluster_intersect_regroup(soup, inst)
+    finally:
+        os.environ["JRT_RG_UVFAST"] = "1"
+    try:
+        rg_fast = make_cluster_intersect_regroup(soup, inst)
+    finally:
+        del os.environ["JRT_RG_UVFAST"]
+    tmin, tmax = _full_rays(n)
+    ha = rg_exact(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    hb = rg_fast(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    assert (np.asarray(ha.hit) == np.asarray(hb.hit)).all()
+    assert (np.asarray(ha.prim) == np.asarray(hb.prim)).all()
+
+
+def test_regroup_overflow_fallback(soup, bounce_rays):
+    """Chunks whose packed size exceeds blk_cap must lax.cond to the
+    worklist fallback and still return correct hits."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        make_cluster_intersect_worklist,
+    )
+    from julia_raytracer_tpu.ops.pallas_regroup import (
+        make_cluster_intersect_regroup,
+    )
+
+    o, d = bounce_rays
+    n = len(o)
+    inst = np.zeros(len(soup), np.int32)
+    wl = make_cluster_intersect_worklist(soup, inst)
+    rg_tiny = make_cluster_intersect_regroup(soup, inst, blk_cap=512)
+    tmin, tmax = _full_rays(n)
+    hw = wl(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    hr = rg_tiny(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    _hits_equal(hw, hr, t_tol=0.0)
+
+
+def test_regroup_livegate_mostly_dead(soup, bounce_rays):
+    """A mostly-dead dispatch (alive < JRT_RG_LIVEGATE) routes to the
+    fallback; dead lanes (tmax=-1) must report no hit, live lanes must
+    match the worklist kernel."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        make_cluster_intersect_worklist,
+    )
+    from julia_raytracer_tpu.ops.pallas_regroup import (
+        make_cluster_intersect_regroup,
+    )
+
+    o, d = bounce_rays
+    n = len(o)
+    n_live = n // 10
+    inst = np.zeros(len(soup), np.int32)
+    wl = make_cluster_intersect_worklist(soup, inst)
+    rg = make_cluster_intersect_regroup(soup, inst)
+    tmin = jnp.full(n, 1e-4, jnp.float32)
+    tmax_np = np.full(n, -1.0, np.float32)
+    tmax_np[:n_live] = 3.0e38
+    tmax = jnp.asarray(tmax_np)
+    hw = wl(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    hr = rg(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    assert not np.asarray(hr.hit)[n_live:].any()
+    _hits_equal(hw, hr, t_tol=0.0)
+
+
+def test_golden_cornellbox_low_spp():
+    """End-to-end render on hardware vs the reference golden image."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from julia_raytracer_tpu.render.renderer import (
+        Params, Renderer, make_trace_state,
+    )
+    from julia_raytracer_tpu.scene.loader import load_scene
+    from julia_raytracer_tpu.utils.color import rgb_to_srgb
+
+    scene_path = "/root/reference/scenes/cornellbox/cornellbox.json"
+    scene = load_scene(scene_path)
+    params = Params(
+        scene=scene_path, resolution=128, samples=24, batch=24,
+        bounces=8, sampler="path",
+    )
+    r = Renderer(scene, params)
+    state = r.trace_samples(make_trace_state(scene, params))
+    ours = np.clip(
+        np.asarray(rgb_to_srgb(r.get_image(state)))[..., :3], 0, 1
+    )
+    gold_img = Image.open(
+        "/root/reference/images/cornellbox_path.png"
+    ).convert("RGB")
+    gold = np.asarray(
+        gold_img.resize((ours.shape[1], ours.shape[0]), Image.BOX),
+        np.float32,
+    ) / 255.0
+    mse = float(((ours - gold) ** 2).mean())
+    assert mse < 0.010, f"cornellbox MSE {mse}"
+
+
+def test_determinism_same_seed():
+    """Same seed => bit-identical image ON HARDWARE (the CPU twin lives
+    in tests/test_render.py; Mosaic nondeterminism would only show here)."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.render.renderer import (
+        Params, Renderer, make_trace_state,
+    )
+    from julia_raytracer_tpu.scene.loader import load_scene
+
+    scene_path = "/root/reference/scenes/cornellbox/cornellbox.json"
+    scene = load_scene(scene_path)
+    params = Params(
+        scene=scene_path, resolution=96, samples=4, batch=4,
+        bounces=6, sampler="path",
+    )
+    r = Renderer(scene, params)
+    img1 = np.asarray(
+        r.get_image(r.trace_samples(make_trace_state(scene, params)))
+    )
+    img2 = np.asarray(
+        r.get_image(r.trace_samples(make_trace_state(scene, params)))
+    )
+    assert (img1 == img2).all()

@@ -89,6 +89,23 @@ def main():
     hr = float(jnp.mean(hit.hit.astype(jnp.float32)))
     print(f"  hit rate {hr:.3f}")
 
+    # hybrid branch split (intersect.flat_part / .inst_part diagnostics)
+    flat_part = getattr(intersect, "flat_part", None)
+    inst_part = getattr(intersect, "inst_part", None)
+    unwrapped = intersect
+    if flat_part is None and hasattr(intersect, "__wrapped__"):
+        unwrapped = intersect.__wrapped__
+        flat_part = getattr(unwrapped, "flat_part", None)
+        inst_part = getattr(unwrapped, "inst_part", None)
+
+    def timed_part(name, part, *a):
+        if part is None:
+            return None
+        tbs = getattr(part, "tables", None)
+        if tbs is not None:
+            return timed(name, lambda *b: part(*b, tables=tbs), *a)
+        return timed(name, part, *a)
+
     # ---- beam precull stats ----------------------------------------------
     wib = np.asarray(tabs.wi_bbox, np.float32)
 
@@ -164,10 +181,13 @@ def main():
     cnt_stats(o_s, d_s, "bounce(sorted)")
     cnt_stats(o, d, "bounce(unsorted)")
 
-    timed(
-        "bounce intersect (sorted)",
-        intersect, jnp.asarray(o_s), jnp.asarray(d_s), tmin, tmax,
-    )
+    o_sd, d_sd = jnp.asarray(o_s), jnp.asarray(d_s)
+    timed("bounce intersect (sorted)", intersect, o_sd, d_sd, tmin, tmax)
+    # branch split: flat soup vs work-item kernel, primary and bounce
+    timed_part("  flat_part primary", flat_part, ro, rd, tmin, tmax)
+    timed_part("  inst_part primary", inst_part, ro, rd, tmin, tmax)
+    timed_part("  flat_part bounce(sorted)", flat_part, o_sd, d_sd, tmin, tmax)
+    timed_part("  inst_part bounce(sorted)", inst_part, o_sd, d_sd, tmin, tmax)
 
 
 if __name__ == "__main__":
