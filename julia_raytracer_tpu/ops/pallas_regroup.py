@@ -93,11 +93,34 @@ def _make_pack_kernel(S: int, blk_cap: int):
     Two-level rank instead: an exclusive in-row prefix via ONE
     [8,128] @ [128,128] pass plus an [8,8] row-offset pass."""
 
+    # depth-2 write pipelining (VERDICT r4 item 6): each live pair's
+    # ~36 KB window DMA used to start+wait inline, putting ~1 us of DMA
+    # latency on the critical path per pair (~23k pairs on a kitchen
+    # dispatch). Two buffers alternate by live-pair parity; a buffer is
+    # only awaited when REUSED (2 live steps later). Safety: consecutive
+    # live pairs target disjoint packed segments (s varies fastest and
+    # per-super segments are slack-separated) EXCEPT when the same super
+    # is live in consecutive live steps with every super between dead —
+    # same-s windows overlap at the partial block, so the conflict guard
+    # awaits the other parity whenever its last super == this one.
+    # S == 1 would make every pair conflict; those scenes are below
+    # REGROUP_MIN anyway, and the guard still keeps them correct.
+    P0, P1, LP, LS0, LS1 = range(5)  # SMEM dbb layout
+
     def kernel(sb_ref, lt_ref, l8_ref, bits_ref, rays_ref,
                packed_ref,
-               buf, sem, cur_ref, resid_ref):
+               buf0, buf1, sem0, sem1, cur_ref, resid_ref, dbb_ref):
         t = pl.program_id(0)
         s = pl.program_id(1)
+        nt = pl.num_programs(0)
+
+        @pl.when((t == 0) & (s == 0))
+        def _():
+            dbb_ref[P0] = 0
+            dbb_ref[P1] = 0
+            dbb_ref[LP] = 0
+            dbb_ref[LS0] = -1
+            dbb_ref[LS1] = -1
 
         @pl.when(t == 0)
         def _():
@@ -106,6 +129,12 @@ def _make_pack_kernel(S: int, blk_cap: int):
 
         m2 = bits_ref[0, 0]                         # [8, 128] f32 0/1
         cnt = jnp.sum(m2).astype(jnp.int32)
+
+        def _wait(buf, sem):
+            # shape-only reconstruction: wait() needs the byte count
+            pltpu.make_async_copy(
+                buf, packed_ref.at[pl.ds(0, WIN)], sem
+            ).wait()
 
         @pl.when(cnt > 0)
         def _():
@@ -146,55 +175,97 @@ def _make_pack_kernel(S: int, blk_cap: int):
             idx_last = (off + cnt - 1) // LANES
             if os.environ.get("JRT_RG_NOGATE") == "1":
                 idx_last = idx_last * 0 + WIN
-            for b in range(WIN):
-                @pl.when(idx_last >= b)
-                def _(b=b):
-                    # P[i, l] = ray-lane i lands at window slot b*128+l
-                    # (built in [8,128,128], reshaped to the [1024,128]
-                    # contraction layout — a major-dims merge, no lane
-                    # shuffle)
-                    pb = jnp.where(
-                        (pos3 == lane3 + jnp.float32(b * LANES)) & m3,
-                        1.0, 0.0,
-                    ).reshape(TILE, LANES)
-                    ck = jax.lax.dot_general(
-                        vals, pb, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                                 # [40, LANES]
-                    rows = []
-                    for p in range(N_PLANES):
-                        u = ck[4 * p + 0, :].astype(jnp.int32)
-                        u = u + ck[4 * p + 1, :].astype(jnp.int32) * shift
-                        u = u + ck[4 * p + 2, :].astype(jnp.int32) * (shift * shift)
-                        # top byte: int32 multiply wraps -> right bits
-                        u = u + ck[4 * p + 3, :].astype(jnp.int32) * jnp.int32(1 << 24)
-                        rows.append(jax.lax.bitcast_convert_type(u, jnp.float32))
-                    # plane 8 ("one") marks real slots; fold validity
-                    # into tmax so empty lanes can never pass the cull
-                    tmax_row = jnp.where(rows[8] > 0.5, rows[7], -1.0)
-                    blk = jnp.concatenate(
-                        [r[None, :] for r in rows[:7]] + [tmax_row[None, :]],
-                        axis=0,
-                    )                                 # [8, LANES]
-                    if b == 0:
-                        blk = jnp.where(lanemask, resid, blk)
-                    buf[b, :, :] = blk
 
-            cp = pltpu.make_async_copy(
-                buf, packed_ref.at[pl.ds(base_blk, WIN), :, :], sem
-            )
-            cp.start()
-            cp.wait()
+            def emit(buf, sem, pidx, ls_idx, osem, obuf, ols_idx, opidx):
+                # reuse guard: await the copy issued from THIS buffer two
+                # live steps ago
+                @pl.when(dbb_ref[pidx] == 1)
+                def _():
+                    _wait(buf, sem)
+                    dbb_ref[pidx] = 0
+                # overlap guard: same-super windows overlap at the
+                # partial block — serialize against the other parity
+                @pl.when((dbb_ref[opidx] == 1) & (dbb_ref[ols_idx] == s))
+                def _():
+                    _wait(obuf, osem)
+                    dbb_ref[opidx] = 0
 
-            # residual: the partial block at the new fill point. Selected
-            # with where (NOT multiply-accumulate): untouched buf blocks
-            # hold stale/uninitialized data and 0.0 * NaN would poison it
-            idx = (cur + cnt) // LANES - base_blk     # 0..WIN-1
-            acc = jnp.zeros((8, LANES), jnp.float32)
-            for b in range(WIN):
-                acc = jnp.where(idx == b, buf[b, :, :], acc)
-            resid_ref[pl.ds(s, 1)] = acc[None]
+                for b in range(WIN):
+                    @pl.when(idx_last >= b)
+                    def _(b=b):
+                        # P[i, l] = ray-lane i lands at window slot
+                        # b*128+l (built in [8,128,128], reshaped to the
+                        # [1024,128] contraction layout — a major-dims
+                        # merge, no lane shuffle)
+                        pb = jnp.where(
+                            (pos3 == lane3 + jnp.float32(b * LANES)) & m3,
+                            1.0, 0.0,
+                        ).reshape(TILE, LANES)
+                        ck = jax.lax.dot_general(
+                            vals, pb, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                 # [40, LANES]
+                        rows = []
+                        for p in range(N_PLANES):
+                            u = ck[4 * p + 0, :].astype(jnp.int32)
+                            u = u + ck[4 * p + 1, :].astype(jnp.int32) * shift
+                            u = u + ck[4 * p + 2, :].astype(jnp.int32) * (shift * shift)
+                            # top byte: int32 multiply wraps -> right bits
+                            u = u + ck[4 * p + 3, :].astype(jnp.int32) * jnp.int32(1 << 24)
+                            rows.append(jax.lax.bitcast_convert_type(u, jnp.float32))
+                        # plane 8 ("one") marks real slots; fold validity
+                        # into tmax so empty lanes can never pass the cull
+                        tmax_row = jnp.where(rows[8] > 0.5, rows[7], -1.0)
+                        blk = jnp.concatenate(
+                            [r[None, :] for r in rows[:7]] + [tmax_row[None, :]],
+                            axis=0,
+                        )                                 # [8, LANES]
+                        if b == 0:
+                            blk = jnp.where(lanemask, resid, blk)
+                        buf[b, :, :] = blk
+
+                pltpu.make_async_copy(
+                    buf, packed_ref.at[pl.ds(base_blk, WIN), :, :], sem
+                ).start()
+                dbb_ref[pidx] = 1
+                dbb_ref[ls_idx] = s
+
+                # residual: the partial block at the new fill point.
+                # Selected with where (NOT multiply-accumulate):
+                # untouched buf blocks hold stale/uninitialized data and
+                # 0.0 * NaN would poison it. Reading buf while its DMA
+                # reads it is safe.
+                idx = (cur + cnt) // LANES - base_blk     # 0..WIN-1
+                acc = jnp.zeros((8, LANES), jnp.float32)
+                for b in range(WIN):
+                    acc = jnp.where(idx == b, buf[b, :, :], acc)
+                resid_ref[pl.ds(s, 1)] = acc[None]
+
+            par = dbb_ref[LP] & 1
+
+            @pl.when(par == 0)
+            def _():
+                emit(buf0, sem0, P0, LS0, sem1, buf1, LS1, P1)
+
+            @pl.when(par == 1)
+            def _():
+                emit(buf1, sem1, P1, LS1, sem0, buf0, LS0, P0)
+
+            dbb_ref[LP] = dbb_ref[LP] + 1
             cur_ref[s] = cur + cnt
+
+        # drain: the final grid step must complete all in-flight copies
+        @pl.when((t == nt - 1) & (s == S - 1))
+        def _():
+            @pl.when(dbb_ref[P0] == 1)
+            def _():
+                _wait(buf0, sem0)
+                dbb_ref[P0] = 0
+
+            @pl.when(dbb_ref[P1] == 1)
+            def _():
+                _wait(buf1, sem1)
+                dbb_ref[P1] = 0
 
     return kernel
 
@@ -573,9 +644,12 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
             ],
             scratch_shapes=[
                 pltpu.VMEM((WIN, 8, LANES), jnp.float32),
+                pltpu.VMEM((WIN, 8, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SMEM((S,), jnp.int32),
                 pltpu.VMEM((S, 8, LANES), jnp.float32),
+                pltpu.SMEM((5,), jnp.int32),
             ],
         )
         return pl.pallas_call(

@@ -1148,43 +1148,54 @@ def trace_wavefront(
         # backward memory stays O(state) per iteration instead of O(residuals)
         step = jax.checkpoint(lambda s, _: (body(s), None))
         final, _ = jax.lax.scan(step, state, None, length=options.fixed_iterations)
-    elif (os.environ.get("JRT_COMPACT", "1") == "1" and n >= 16384):
+    elif (os.environ.get("JRT_COMPACT", "0" if not do_sort else "1") == "1"
+          and n >= 16384):
         # two-phase dispatch (VERDICT r4 item 4): the while_loop runs
         # EVERY lane to the LAST survivor's bounce, but the alive
         # fraction collapses fast (cornellbox 512px, tools/
         # alive_profile.py: [0.93, 0.35, 0.16, 0.07, 0.01, ...] — ideal
-        # compaction speedup 3.6x). Phase A runs k full-width
-        # iterations; survivors (measured ~7% at k=3, cap is 25%) are
-        # compacted into an n/4 buffer for the tail loop and scattered
-        # back. Dead lanes' outputs are final by construction (the
-        # single-loop design already relied on that invariant), so the
-        # image is bit-identical. If survivors ever exceed the cap, a
-        # lax.cond continues full-width instead — never drops a path.
-        k = jnp.int32(int(os.environ.get("JRT_COMPACT_AFTER", "3")))
+        # compaction speedup 3.6x). Phase A runs full width until the
+        # survivors fit an n/4 buffer; the tail loop runs narrow and the
+        # results merge back. Dead lanes' outputs are final by
+        # construction (the single-loop design already relied on that
+        # invariant), so the image is bit-identical.
+        #
+        # The merge mechanics are liveness-sort aware, because XLA
+        # gather/scatter at state scale is latency-bound (~2-9 ms per
+        # field at 262k lanes, measured — a gather/scatter phase
+        # boundary COST more than the narrow loop saved):
+        # - do_sort scenes: body already sorts lanes (liveness, morton)
+        #   every iteration, and alive only decays within an iteration,
+        #   so after one extra body() call every alive lane lives in the
+        #   first <= cap slots — compaction is a SLICE and the merge a
+        #   contiguous dynamic_update_slice; the existing idx-unsort
+        #   restores order. Zero gathers.
+        # - non-sort scenes: one stable alive-first argsort + per-field
+        #   gather/scatter (JRT_COMPACT=1 to enable; off by default —
+        #   measured net-negative on cornellbox).
         cap = max(4096, n // 4)
-
-        def bodyA(c):
-            s, i = c
-            return body(s), i + 1
-
-        stateA, _ = jax.lax.while_loop(
-            lambda c: (c[1] < k) & jnp.any(c[0].alive),
-            bodyA, (state, jnp.int32(0)),
+        stateA = jax.lax.while_loop(
+            lambda s: jnp.sum(s.alive.astype(jnp.int32)) > cap,
+            body, state,
         )
-        n_alive = jnp.sum(stateA.alive.astype(jnp.int32))
-        perm = jnp.argsort(~stateA.alive)  # stable: alive-first
-
-        def narrow(sA):
-            sel = perm[:cap]
-            sN = jax.tree_util.tree_map(lambda a: a[sel], sA)
+        if do_sort:
+            # one more iteration: its in-body sort packs the <= cap
+            # survivors into the prefix (a few may die after the sort —
+            # alive only shrinks, so the prefix bound holds)
+            stateA = body(stateA)
+            sN = jax.tree_util.tree_map(lambda a: a[:cap], stateA)
             fN = jax.lax.while_loop(cond, body, sN)
-            return jax.tree_util.tree_map(
-                lambda full, nar: full.at[sel].set(nar), sA, fN)
-
-        def full_width(sA):
-            return jax.lax.while_loop(cond, body, sA)
-
-        final = jax.lax.cond(n_alive <= cap, narrow, full_width, stateA)
+            final = jax.tree_util.tree_map(
+                lambda full, nar: jax.lax.dynamic_update_slice(
+                    full, nar, (0,) * full.ndim),
+                stateA, fN)
+        else:
+            perm = jnp.argsort(~stateA.alive)  # stable: alive-first
+            sel = perm[:cap]
+            sN = jax.tree_util.tree_map(lambda a: a[sel], stateA)
+            fN = jax.lax.while_loop(cond, body, sN)
+            final = jax.tree_util.tree_map(
+                lambda full, nar: full.at[sel].set(nar), stateA, fN)
     else:
         final = jax.lax.while_loop(cond, body, state)
     outs = (final.radiance, final.hit_flag, final.hit_albedo, final.hit_normal, final.rng)

@@ -15,6 +15,7 @@ makes the progressive lerp accumulation (src/trace.jl:631-648) durable.
 
 from __future__ import annotations
 
+import os
 import math
 from dataclasses import dataclass, field
 from functools import partial
@@ -254,8 +255,14 @@ class Renderer:
             light_pdf_extra_steps=pdf_steps,
             # wavefront sorting pays for itself once per-block live sets
             # shrink (heavy scenes); tiny scenes use dense kernels where
-            # coherence doesn't matter
-            sort_rays=self.config.n_prims >= 50_000,
+            # coherence doesn't matter. JRT_SORT=1/0 overrides (the
+            # slice-path compaction needs the sort, so tiny scenes may
+            # want it purely for the liveness ordering).
+            sort_rays=(
+                os.environ["JRT_SORT"] == "1"
+                if os.environ.get("JRT_SORT") in ("0", "1")
+                else self.config.n_prims >= 50_000
+            ),
         )
         self.intersect = build_intersector(self.dscene, self.config)
         if getattr(self.intersect, "wants_tables", False):
