@@ -574,7 +574,10 @@ def sample_lights_pdf(
             # continue from just past the last hit (0.001 offset, src/trace.jl:1042)
             origin = position + direction * (t_cum + 1e-3)[..., None]
             tmin = jnp.full_like(t_cum, 1e-4)
-            tmax = jnp.where(marching, jnp.float32(3.4028235e38), jnp.float32(1e-4))
+            # non-marching lanes carry tmax = -1: a tiny POSITIVE tmax
+            # still passes slab tests when the origin sits inside a bbox
+            # (see render/integrator.py dead-lane note)
+            tmax = jnp.where(marching, jnp.float32(3.4028235e38), jnp.float32(-1.0))
             step = intersect_fn(origin, direction, tmin, tmax)
             hit = step.hit & marching
             t_cum = jnp.where(hit, t_cum + 1e-3 + step.t, t_cum)

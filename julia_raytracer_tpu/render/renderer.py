@@ -276,9 +276,18 @@ class Renderer:
 
     # -- per-sample kernel ------------------------------------------------
 
-    def _sample_kernel(self, width: int, height: int, chunk: int):
-        """Compiled fn: (dscene, cam, buffers..., pixel0, sample) -> buffers."""
-        key = (width, height, chunk)
+    def _sample_kernel(self, width: int, height: int, chunk: int,
+                       k: int = 1):
+        """Compiled fn: (dscene, cam, buffers..., pixel0, sample) -> buffers.
+
+        k > 1 traces k CONSECUTIVE samples of the same `chunk` pixels in
+        one dispatch (lanes = k*chunk; sample id varies along the lane
+        axis) and folds their mean into the running mean with weight
+        k/(s+k) — the same mean as k sequential lerps in exact
+        arithmetic. Amortizes per-dispatch host/tunnel overhead for
+        scenes whose pixel count is far below MAX_CHUNK (the flagship
+        ran at 82% of its kernel-bound ceiling on dispatch gaps)."""
+        key = (width, height, chunk, k)
         if key in self._kernel_cache:
             return self._kernel_cache[key]
 
@@ -289,11 +298,13 @@ class Renderer:
 
         def kernel(dscene, cam, image, albedo, normal, hits, pixel0, sample_id):
             cam = cam._replace(orthographic=orthographic)
-            lane = jnp.arange(chunk, dtype=jnp.int32)
-            pixel = pixel0 + lane
+            lane = jnp.arange(chunk * k, dtype=jnp.int32)
+            pix_off = lane % chunk
+            s_off = lane // chunk
+            pixel = pixel0 + pix_off
             valid = pixel < n_pixels
             pix = jnp.clip(pixel, 0, n_pixels - 1)
-            rng = rng_mod.seed_state(pix, sample_id, params.seed)
+            rng = rng_mod.seed_state(pix, sample_id + s_off, params.seed)
             puv, rng = rng_mod.rand2f(rng)
             luv, rng = rng_mod.rand2f(rng)
             ij = jnp.stack([pix % width, pix // width], axis=-1)
@@ -307,13 +318,21 @@ class Renderer:
             )
 
             img_new, alb_new, nrm_new, env_case = _scrub_compose(
-                radiance, hit, albedo_s, normal_s, rd, chunk,
+                radiance, hit, albedo_s, normal_s, rd, chunk * k,
                 params.clamp, options.envhidden, has_envs,
             )
+            if k > 1:
+                # mean of the k sub-samples per pixel
+                img_new = img_new.reshape(k, chunk, 4).mean(axis=0)
+                alb_new = alb_new.reshape(k, chunk, 3).mean(axis=0)
+                nrm_new = nrm_new.reshape(k, chunk, 3).mean(axis=0)
             # running-mean accumulation (src/trace.jl:631-648)
-            w = jnp.float32(1.0) / (sample_id.astype(jnp.float32) + 1.0)
-            w = jnp.where(valid, w, 0.0)
-            hit_inc = jnp.where(valid & (hit | env_case), 1, 0)
+            w = jnp.float32(k) / (sample_id.astype(jnp.float32) + k)
+            w = jnp.where(valid[:chunk], w, 0.0)
+            hit_lane = jnp.where(valid & (hit | env_case), 1, 0)
+            hit_inc = (
+                hit_lane.reshape(k, chunk).sum(axis=0) if k > 1 else hit_lane
+            )
 
             old_img = jax.lax.dynamic_slice(image, (pixel0, 0), (chunk, 4))
             old_alb = jax.lax.dynamic_slice(albedo, (pixel0, 0), (chunk, 3))
@@ -517,7 +536,18 @@ class Renderer:
             # overrides the cap for the repro/lift experiment
             # (tools/repro_inst_fault.py).
             chunk = min(chunk, _inst_chunk_cap())
-        kernel = self._sample_kernel(state.width, state.height, chunk)
+        # multi-sample dispatch: small frames fill MAX_CHUNK lanes with k
+        # consecutive samples per call (see _sample_kernel). Engages only
+        # when the frame is at most MAX_CHUNK/4 pixels (heavy 720p scenes
+        # keep their proven one-sample dispatches). JRT_SPP_K overrides
+        # (1 restores one-sample dispatches).
+        k_env = os.environ.get("JRT_SPP_K")
+        k = 1
+        if chunk <= MAX_CHUNK // 4 or k_env:
+            k = max(1, min(MAX_CHUNK // chunk, target - state.samples))
+        if k_env:
+            k = max(1, min(int(k_env), target - state.samples))
+        kernel = self._sample_kernel(state.width, state.height, chunk, k)
         image, albedo, normal, hits = state.image, state.albedo, state.normal, state.hits
         # Pad buffers to a chunk multiple so dynamic_update_slice start indices
         # are never clamped (clamping would shift the last partial chunk's
@@ -531,12 +561,18 @@ class Renderer:
             albedo = jnp.pad(albedo, ((0, pad), (0, 0)))
             normal = jnp.pad(normal, ((0, pad), (0, 0)))
             hits = jnp.pad(hits, ((0, pad),))
-        for sample in range(state.samples, target):
+        sample = state.samples
+        while sample < target:
+            kk = min(k, target - sample)
+            if kk != k:  # tail: smaller k needs its own compile
+                kernel = self._sample_kernel(
+                    state.width, state.height, chunk, kk)
             for pixel0 in range(0, n, chunk):
                 image, albedo, normal, hits = kernel(
                     self.dscene, self.cam_arrays, image, albedo, normal, hits,
                     jnp.int32(pixel0), jnp.int32(sample),
                 )
+            sample += kk
         state.image, state.albedo, state.normal, state.hits = image, albedo, normal, hits
         state.samples = target
         return state
