@@ -538,12 +538,16 @@ class Renderer:
             chunk = min(chunk, _inst_chunk_cap())
         # multi-sample dispatch: small frames fill MAX_CHUNK lanes with k
         # consecutive samples per call (see _sample_kernel). Engages only
-        # when the frame is at most MAX_CHUNK/4 pixels (heavy 720p scenes
-        # keep their proven one-sample dispatches). JRT_SPP_K overrides
-        # (1 restores one-sample dispatches).
+        # when the frame is at most MAX_CHUNK/4 pixels AND the scene is
+        # non-instanced: heavy 720p scenes keep their proven one-sample
+        # dispatches, and the instanced/hybrid path REGRESSES 12x at
+        # 4x-lane dispatches (ecosys 4.6 -> 57.5 s/sample measured — the
+        # work-item round loop's straggler rounds scale with the lane
+        # count). JRT_SPP_K overrides (1 restores one-sample dispatches).
         k_env = os.environ.get("JRT_SPP_K")
         k = 1
-        if chunk <= MAX_CHUNK // 4 or k_env:
+        if ((chunk <= MAX_CHUNK // 4 and self.config.inst_tables is None)
+                or k_env):
             k = max(1, min(MAX_CHUNK // chunk, target - state.samples))
         if k_env:
             k = max(1, min(int(k_env), target - state.samples))
