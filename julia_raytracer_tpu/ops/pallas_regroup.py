@@ -556,7 +556,8 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
                                    prim_instance=None,
                                    interpret: bool = False,
                                    cache_key: str = "",
-                                   blk_cap: int | None = None):
+                                   blk_cap: int | None = None,
+                                   livegate: float | None = None):
     """Regroup intersector -> Hit; drop-in for
     make_cluster_intersect_worklist (same tables triple + a lower-
     triangular pack constant). Reference hot loop: src/bvh.jl:306-371."""
@@ -612,7 +613,14 @@ def make_cluster_intersect_regroup(prim_verts_np: np.ndarray,
     # tmax<0 (tools/liveness_ab.py: alive 0.5 -> 194 rg vs 200 wl ms;
     # 0.25 -> 139 vs 106; 0.03 -> 99 vs 50). Dead lanes are detected by
     # tmax <= 0 (render/integrator.py dispatches dead lanes at -1).
-    livegate = float(os.environ.get("JRT_RG_LIVEGATE", "0.45"))
+    # Callers with a decisive predicted regroup win pass a lower gate
+    # (kernel_select ratio < 0.25 -> 0.2: ecosys 4,613 -> 4,394
+    # ms/sample measured); env overrides both.
+    env_lg = os.environ.get("JRT_RG_LIVEGATE")
+    if env_lg is not None:
+        livegate = float(env_lg)
+    elif livegate is None:
+        livegate = 0.45
 
     # worklist fallback for W / capacity overflow (shares the table cache)
     fallback = make_cluster_intersect_worklist(

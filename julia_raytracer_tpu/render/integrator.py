@@ -230,7 +230,11 @@ def make_intersect_hybrid(dscene: DeviceScene, config: SceneConfig,
                 )
 
                 flat_part = make_cluster_intersect_regroup(
-                    wpv, winst, cache_key=hyb_key
+                    wpv, winst, cache_key=hyb_key,
+                    livegate=(
+                        0.2 if rg_mode == "auto" and sel["ratio"] < 0.25
+                        else None
+                    ),
                 )
             else:
                 flat_part = make_cluster_intersect_worklist(
@@ -500,7 +504,11 @@ def build_intersector(dscene: DeviceScene, config: SceneConfig):
             )
 
             rg = make_cluster_intersect_regroup(
-                np.asarray(verts_np), inst_np, cache_key=config.cache_key
+                np.asarray(verts_np), inst_np, cache_key=config.cache_key,
+                livegate=(
+                    0.2 if rg_mode == "auto" and sel["ratio"] < 0.25
+                    else None
+                ),
             )
             outer = curve_wrap(rg, dscene, config)
             if outer is not rg:
