@@ -202,17 +202,24 @@ def make_bruteforce_pallas(prim_verts_np: np.ndarray, prim_instance=None,
 
         rblocks = rox.shape[0] // ROWS
         spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct(rox.shape, jnp.int32)] + [
-            jax.ShapeDtypeStruct(rox.shape, jnp.float32) for _ in range(9)
-        ] + [jax.ShapeDtypeStruct(rox.shape, jnp.int32)]
-        prim, u, v, t, px, py, pz, nx, ny, nz, inst = pl.pallas_call(
-            kernel,
-            grid=(rblocks,),
-            in_specs=[spec] * 8,
-            out_specs=[spec] * 11,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(rox, roy, roz, rdx, rdy, rdz, tmin_p, tmax_p)
+
+        def call_on(args, nb):
+            shp = (nb * ROWS, LANES)
+            out_shape = [jax.ShapeDtypeStruct(shp, jnp.int32)] + [
+                jax.ShapeDtypeStruct(shp, jnp.float32) for _ in range(9)
+            ] + [jax.ShapeDtypeStruct(shp, jnp.int32)]
+            return pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=[spec] * 8,
+                out_specs=[spec] * 11,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*args)
+
+        ins = (rox, roy, roz, rdx, rdy, rdz, tmin_p, tmax_p)
+        outs = call_on(ins, rblocks)
+        prim, u, v, t, px, py, pz, nx, ny, nz, inst = outs
 
         def unpack(x):
             return x.reshape(-1)[:n]

@@ -392,16 +392,19 @@ def _make_tritest_kernel(sup: int, q: int):
     G8 = min(8, sup)
     assert sup % G8 == 0
     _dot = _make_tri_dot()
-    # u/v fast mode (DEFAULT ON): the winner is resolved purely by t
-    # (o'z/d'z), so only those two transforms need the 3-pass split3
-    # dot; the u/v RANGE TESTS tolerate single-pass bf16
-    # (edge-acceptance wobbles by ~1e-3 of a barycentric unit; final
-    # u/v are recomputed exactly at merge). 18 MXU passes/pass -> 10;
-    # tri-test 190 -> 169 ms; bathroom1 golden MSE identical to the
-    # exact mode (0.02143 vs 0.02128, sampling noise). JRT_RG_UVFAST=0
-    # restores the exact mode (the A/B harness pins it for bit-level
-    # comparisons).
-    uv_fast = os.environ.get("JRT_RG_UVFAST", "1") == "1"
+    # u/v fast mode (DEFAULT OFF since round 5): the u/v RANGE TESTS run
+    # as single-pass bf16 dots (18 MXU passes/pass -> 10; tri-test 190
+    # -> 169 ms). Round 4 shipped it ON after golden validation
+    # (bathroom1 MSE 0.02143 vs 0.02128 exact — images equivalent,
+    # because on real meshes a borderline edge miss on one triangle is
+    # caught by its neighbor). The round-5 on-TPU smoke tier
+    # (tests_tpu/test_tpu_smoke.py) showed it is NOT winner-exact on
+    # divergent rays through disjoint quads: 28% different winners with
+    # materially different t on the 200k random soup — bf16 edge
+    # misclassification, not tie-breaking. Exact mode is now the
+    # default (regroup only drives decisive-win scenes, so the cost is
+    # ~2% end-to-end); JRT_RG_UVFAST=1 opts back in.
+    uv_fast = os.environ.get("JRT_RG_UVFAST", "0") == "1"
     _dot_uv = (
         (lambda a, b: jax.lax.dot_general(
             a, b, (((0,), (0,)), ((), ())),

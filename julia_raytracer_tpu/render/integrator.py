@@ -46,7 +46,12 @@ from julia_raytracer_tpu.utils.vecmath import dot
 
 import os
 
-BRUTEFORCE_THRESHOLD = 256
+# dense-kernel cutoff. Was 256; the on-TPU smoke tier found Mosaic
+# scoped-vmem compile OOMs for 192-256-prim unrolls at multi-block
+# dispatches (tests_tpu first run), while the 36-prim cornellbox class
+# is solid at 1M-lane grids (scoped stack ~ 16.4M at 128 prims, just
+# over the 16M limit). 113+ prims route to the worklist kernel.
+BRUTEFORCE_THRESHOLD = 112
 # ray regrouping pays off once block footprint unions dwarf per-ray
 # footprints — a heavy-scene effect (kitchen/bathroom1/coffee class)
 REGROUP_MIN_PRIMS = int(os.environ.get("JRT_REGROUP_MIN") or 150_000)

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 
-def _hits_equal(ha, hb, t_tol=1e-5):
+def _hits_equal(ha, hb, t_tol=1e-5, prim_tol=0.999, t_frac=0.999):
     import jax
 
     ha = jax.tree.map(np.asarray, ha)
@@ -18,10 +18,13 @@ def _hits_equal(ha, hb, t_tol=1e-5):
     both = ha.hit & hb.hit
     assert (ha.hit == hb.hit).mean() > 0.9995
     if both.any():
-        assert (ha.prim[both] == hb.prim[both]).mean() > 0.999
+        # prim_tol < 1: the synthetic soup has near-duplicate quads, so
+        # equal-t ties can break differently between kernel families
+        # (t must still agree)
+        assert (ha.prim[both] == hb.prim[both]).mean() > prim_tol
         assert np.isclose(
             ha.t[both], hb.t[both], rtol=t_tol, atol=1e-6
-        ).mean() > 0.999
+        ).mean() > t_frac
 
 
 def _full_rays(n):
@@ -49,17 +52,23 @@ def test_worklist_vs_jnp_bruteforce(soup, bounce_rays):
         jnp.asarray(pv), jnp.asarray(o), jnp.asarray(d), tmin, tmax,
         prim_instance=jnp.zeros(len(pv), jnp.int32),
     )
-    _hits_equal(hw, hr)
+    # cross-FORMULA comparison (unit-triangle transform rows vs direct
+    # Moller-Trumbore): t agrees to ~1e-4 relative on thin random
+    # quads, and near-duplicate prims tie-break differently
+    _hits_equal(hw, hr, t_tol=1e-3, prim_tol=0.995, t_frac=0.99)
 
 
 def test_dense_vs_jnp_bruteforce(soup, bounce_rays):
-    """Tiny-scene dense Pallas kernel == jnp brute force."""
+    """Tiny-scene dense Pallas kernel == jnp brute force. 112 prims =
+    BRUTEFORCE_THRESHOLD (lowered from 256 after this tier caught
+    Mosaic scoped-vmem compile OOMs: the stack scales with the prim
+    unroll and crosses the 16M limit at ~125 prims)."""
     import jax.numpy as jnp
 
     from julia_raytracer_tpu.ops.pallas_intersect import make_bruteforce_pallas
     from julia_raytracer_tpu.ops.traversal import intersect_bruteforce
 
-    pv = soup[:512]
+    pv = soup[:112]
     o, d = bounce_rays
     n = len(o)
     bf = make_bruteforce_pallas(pv, np.zeros(len(pv), np.int32))
@@ -69,7 +78,7 @@ def test_dense_vs_jnp_bruteforce(soup, bounce_rays):
         jnp.asarray(pv), jnp.asarray(o), jnp.asarray(d), tmin, tmax,
         prim_instance=jnp.zeros(len(pv), jnp.int32),
     )
-    _hits_equal(hp, hr)
+    _hits_equal(hp, hr, t_tol=1e-3, prim_tol=0.995, t_frac=0.99)
 
 
 def test_regroup_vs_worklist_hit_identical(soup, bounce_rays):
@@ -100,12 +109,20 @@ def test_regroup_vs_worklist_hit_identical(soup, bounce_rays):
     assert (np.asarray(hw.prim) == np.asarray(hr.prim)).all()
 
 
-def test_regroup_uvfast_winners_identical(soup, bounce_rays):
-    """JRT_RG_UVFAST=1 (single-pass bf16 u/v range tests, production
-    default) must pick the same winners as exact mode (ADVICE r4: this
-    assumption was only validated by hand-run golden renders)."""
+def test_regroup_default_is_winner_exact(soup, bounce_rays):
+    """The DEFAULT tri-test mode must be winner-exact vs the worklist
+    kernel. History: round 4 shipped JRT_RG_UVFAST=1 (bf16 u/v range
+    tests) as the default after golden validation; this tier's first
+    run showed uv-fast picks ~28% DIFFERENT winners with materially
+    different t on divergent soup rays (bf16 edge misclassification on
+    disjoint quads — real meshes mask it via shared edges, which is why
+    goldens passed). Round 5 flipped the default to exact; this test
+    pins that the default stays bit-level correct."""
     import jax.numpy as jnp
 
+    from julia_raytracer_tpu.ops.pallas_cluster import (
+        make_cluster_intersect_worklist,
+    )
     from julia_raytracer_tpu.ops.pallas_regroup import (
         make_cluster_intersect_regroup,
     )
@@ -113,18 +130,12 @@ def test_regroup_uvfast_winners_identical(soup, bounce_rays):
     o, d = bounce_rays
     n = len(o)
     inst = np.zeros(len(soup), np.int32)
-    os.environ["JRT_RG_UVFAST"] = "0"
-    try:
-        rg_exact = make_cluster_intersect_regroup(soup, inst)
-    finally:
-        os.environ["JRT_RG_UVFAST"] = "1"
-    try:
-        rg_fast = make_cluster_intersect_regroup(soup, inst)
-    finally:
-        del os.environ["JRT_RG_UVFAST"]
+    assert os.environ.get("JRT_RG_UVFAST") is None
+    rg_default = make_cluster_intersect_regroup(soup, inst)
+    wl = make_cluster_intersect_worklist(soup, inst)
     tmin, tmax = _full_rays(n)
-    ha = rg_exact(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
-    hb = rg_fast(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    ha = wl(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    hb = rg_default(jnp.asarray(o), jnp.asarray(d), tmin, tmax)
     assert (np.asarray(ha.hit) == np.asarray(hb.hit)).all()
     assert (np.asarray(ha.prim) == np.asarray(hb.prim)).all()
 

@@ -25,15 +25,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def classify(name: str) -> str:
     n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n:
+    if n.startswith("while") or n.startswith("jit_"):
+        return "_envelope"  # contains children: excluded from sums
+    if "custom-call" in n or "tpu_custom_call" in n or \
+            n.startswith("intersect") or n.startswith("pack") or \
+            n.startswith("unpack") or n.startswith("tri"):
         return "pallas_custom_call"
     if "sort" in n:
         return "sort"
     if "gather" in n or "scatter" in n:
         return "gather_scatter"
-    if "fusion" in n or "multiply" in n or "add" in n or "select" in n:
+    if "fusion" in n or "multiply" in n or "add" in n or "select" in n \
+            or "reduce" in n or "compare" in n or "and" in n or "or" in n:
         return "fusion_elementwise"
-    if "copy" in n or "transpose" in n or "reshape" in n:
+    if "copy" in n or "transpose" in n or "reshape" in n \
+            or "dynamic" in n or "bitcast" in n or "convert" in n:
         return "layout"
     return "other"
 
@@ -91,11 +97,14 @@ def main():
                 if e.get("ph") == "M" and e.get("name") == "process_name"}
         for e in tr["traceEvents"]:
             if (e.get("ph") == "X" and e.get("dur", 0) > 0
-                    and "TPU" in pids.get(e["pid"], "")
-                    and e.get("tid") in (2,)):  # top-level device lane
-                agg[e["name"][:56]] += e["dur"]
-                cats[classify(e["name"])] += e["dur"]
-                dev_busy += e["dur"]
+                    and "TPU" in pids.get(e["pid"], "")):
+                if e.get("tid") == 2:  # top-level device lane
+                    dev_busy += e["dur"]
+                else:  # nested XLA-op lane: the real breakdown
+                    agg[e["name"][:56]] += e["dur"]
+                    c = classify(e["name"])
+                    if c != "_envelope":  # envelopes contain children
+                        cats[c] += e["dur"]
     n_paths = state.n_pixels * spp
     out = {
         "scene": scene_name, "res": res, "spp": spp,
