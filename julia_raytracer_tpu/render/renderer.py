@@ -536,19 +536,19 @@ class Renderer:
             # overrides the cap for the repro/lift experiment
             # (tools/repro_inst_fault.py).
             chunk = min(chunk, _inst_chunk_cap())
-        # multi-sample dispatch: small frames fill MAX_CHUNK lanes with k
-        # consecutive samples per call (see _sample_kernel). Engages only
-        # when the frame is at most MAX_CHUNK/4 pixels AND the scene is
-        # non-instanced: heavy 720p scenes keep their proven one-sample
-        # dispatches, and the instanced/hybrid path REGRESSES 12x at
-        # 4x-lane dispatches (ecosys 4.6 -> 57.5 s/sample measured — the
-        # work-item round loop's straggler rounds scale with the lane
-        # count). JRT_SPP_K overrides (1 restores one-sample dispatches).
+        # multi-sample dispatch (EXPERIMENTAL, default OFF): fill
+        # MAX_CHUNK lanes with k consecutive samples per call (see
+        # _sample_kernel). Measured results were uniformly bad on the
+        # v5e: ecosys 4.6 -> 57.5 s/sample (work-item straggler rounds
+        # scale with lanes) and the cornellbox flagship 26.7 -> 2.3
+        # Mpaths/s (a 4x-lane megakernel runs ~12x SLOWER with the
+        # device mostly idle — some per-lane-count superlinearity in
+        # this XLA build that a same-shape 262k dispatch does not hit).
+        # The mechanism is kept behind JRT_SPP_K for future
+        # investigation; accumulation semantics are validated on CPU
+        # (float reassociation only).
         k_env = os.environ.get("JRT_SPP_K")
         k = 1
-        if ((chunk <= MAX_CHUNK // 4 and self.config.inst_tables is None)
-                or k_env):
-            k = max(1, min(MAX_CHUNK // chunk, target - state.samples))
         if k_env:
             k = max(1, min(int(k_env), target - state.samples))
         kernel = self._sample_kernel(state.width, state.height, chunk, k)

@@ -76,7 +76,7 @@ def main():
     }
 
     print(f"{scene} {res}px bounce dispatch: {n} rays", flush=True)
-    uv_fast = os.environ.get("JRT_RG_UVFAST", "1") == "1"
+    uv_fast = os.environ.get("JRT_RG_UVFAST", "0") == "1"
     stats_rg = kf.regroup_dispatch_stats(o, d, tmin_np, tmax_np, cbb)
     fl_rg = kf.regroup_dispatch_flops(stats_rg, uv_fast=uv_fast)
     stats_wl = kf.worklist_dispatch_stats(o, d, tmin_np, tmax_np, cbb)
