@@ -28,7 +28,7 @@ def classify(name: str) -> str:
     if n.startswith("while") or n.startswith("jit_"):
         return "_envelope"  # contains children: excluded from sums
     if "custom-call" in n or "tpu_custom_call" in n or \
-            n.startswith("intersect") or n.startswith("pack") or \
+            "intersect" in n or n.startswith("pack") or \
             n.startswith("unpack") or n.startswith("tri"):
         return "pallas_custom_call"
     if "sort" in n:
