@@ -96,7 +96,14 @@ def main() -> None:
     from julia_raytracer_tpu.scene.loader import load_scene
 
     resolution = 512
-    warm_samples = 2
+    # warm with the SAME dispatch shape the timed window uses: with
+    # JRT_SPP_K=k the k-sample kernel is a different compile, and
+    # warming k=2 then timing k=4 puts the k=4 compile (~2.5 s even
+    # from the disk cache) INSIDE the window — that, not any device
+    # pathology, was round 5's "12x k-dispatch regression"
+    # (LANE_SCALING_r05.json: 1M-lane dispatches scale SUB-linearly).
+    spp_k = max(1, int(os.environ.get("JRT_SPP_K") or 1))
+    warm_samples = 2 * spp_k
     bench_samples = 32
 
     scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")

@@ -536,17 +536,19 @@ class Renderer:
             # overrides the cap for the repro/lift experiment
             # (tools/repro_inst_fault.py).
             chunk = min(chunk, _inst_chunk_cap())
-        # multi-sample dispatch (EXPERIMENTAL, default OFF): fill
-        # MAX_CHUNK lanes with k consecutive samples per call (see
-        # _sample_kernel). Measured results were uniformly bad on the
-        # v5e: ecosys 4.6 -> 57.5 s/sample (work-item straggler rounds
-        # scale with lanes) and the cornellbox flagship 26.7 -> 2.3
-        # Mpaths/s (a 4x-lane megakernel runs ~12x SLOWER with the
-        # device mostly idle — some per-lane-count superlinearity in
-        # this XLA build that a same-shape 262k dispatch does not hit).
-        # The mechanism is kept behind JRT_SPP_K for future
-        # investigation; accumulation semantics are validated on CPU
-        # (float reassociation only).
+        # multi-sample dispatch (default OFF): fill MAX_CHUNK lanes
+        # with k consecutive samples per call (see _sample_kernel).
+        # The round-5 "12x flagship regression" attributed to lane
+        # count was an in-window-compile measurement artifact (warmup
+        # compiled the k=2 kernel, the timed window then paid the k=4
+        # compile; LANE_SCALING_r05.json / K_FUSIONS_r05.json: real
+        # k=4 device cost is +4%/sample). Correctly warmed, k=2 is a
+        # ~2% wash on the flagship and k>=4 loses to the k-mean fold
+        # overhead, so JRT_SPP_K stays opt-in. The ecosys 57.5
+        # s/sample work-item regression at k>1 was real (straggler
+        # rounds scale with lanes); instanced scenes keep k=1.
+        # Accumulation semantics are validated on CPU (float
+        # reassociation only).
         k_env = os.environ.get("JRT_SPP_K")
         k = 1
         if k_env:
