@@ -96,15 +96,15 @@ def main() -> None:
     from julia_raytracer_tpu.scene.loader import load_scene
 
     resolution = 512
-    # warm with the SAME dispatch shape the timed window uses: with
-    # JRT_SPP_K=k the k-sample kernel is a different compile, and
-    # warming k=2 then timing k=4 puts the k=4 compile (~2.5 s even
-    # from the disk cache) INSIDE the window — that, not any device
-    # pathology, was round 5's "12x k-dispatch regression"
+    # warm with the SAME batch size the timed window uses: the kernel
+    # compiled depends on the batch structure (JRT_SPP_K k-lane and the
+    # loop_s in-dispatch sample loop are per-(k, loop_s) compiles), and
+    # warming a smaller batch puts the real kernel's compile (~2.5 s
+    # even from the disk cache) INSIDE the window — that, not any
+    # device pathology, was round 5's "12x k-dispatch regression"
     # (LANE_SCALING_r05.json: 1M-lane dispatches scale SUB-linearly).
-    spp_k = max(1, int(os.environ.get("JRT_SPP_K") or 1))
-    warm_samples = 2 * spp_k
     bench_samples = 32
+    warm_samples = bench_samples
 
     scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")
     params = Params(
@@ -134,6 +134,19 @@ def main() -> None:
     paths = state.n_pixels * bench_samples
     mpaths = paths / dt / 1e6
 
+    # steady-state: a second, 4x window isolates the per-sample rate
+    # from the ~45-90 ms tunnel-fence round trip that is ~25% of the
+    # 32-spp window on axon but zero on local TPU hardware. Two-point
+    # regression: d = (t_128 - t_32) / 96 ms/sample.
+    renderer.params.samples += 4 * bench_samples
+    renderer.params.batch = 4 * bench_samples
+    t1 = time.perf_counter()
+    state = renderer.trace_samples(state)
+    fence(state.image)
+    dt4 = time.perf_counter() - t1
+    d_smp = (dt4 - dt) / (3 * bench_samples)
+    steady = state.n_pixels / d_smp / 1e6 if d_smp > 0 else 0.0
+
     # MFU/roofline accounting (VERDICT r2 item 5): XLA cost-analysis
     # flops+bytes of one sample x samples / wall vs v5e peaks. Only
     # meaningful on TPU (CPU backend has no v5e roofline).
@@ -158,6 +171,14 @@ def main() -> None:
                 "value": round(mpaths, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths / base, 3),
+                "steady_state_mpaths": round(steady, 3),
+                "steady_state_note": (
+                    "per-sample rate with the tunnel-fence fixed cost "
+                    "(~45-90 ms, zero on local TPU) regressed out of a "
+                    "4x window; `value` keeps the historical 32-spp "
+                    "single-window protocol for round-over-round "
+                    "comparability"
+                ),
                 **roof,
                 "baseline_kind": base_kind,
                 "baseline_note": base_note,

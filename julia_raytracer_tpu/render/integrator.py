@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from julia_raytracer_tpu.ops import bsdf as bsdf_ops
 from julia_raytracer_tpu.ops import eval as eval_ops
+from julia_raytracer_tpu.ops import pallas_compact
 from julia_raytracer_tpu.ops.geometry import F32_MAX, RAY_EPS
 from julia_raytracer_tpu.ops.traversal import (
     Hit, intersect_bruteforce, intersect_bvh,
@@ -1161,8 +1162,11 @@ def trace_wavefront(
         # backward memory stays O(state) per iteration instead of O(residuals)
         step = jax.checkpoint(lambda s, _: (body(s), None))
         final, _ = jax.lax.scan(step, state, None, length=options.fixed_iterations)
-    elif (os.environ.get("JRT_COMPACT", "0" if not do_sort else "1") == "1"
-          and n >= 16384):
+    elif (os.environ.get("JRT_COMPACT", "1")
+          not in ("0",)
+          and n >= int(os.environ.get("JRT_COMPACT_MIN") or 16384)
+          and (do_sort or os.environ.get("JRT_COMPACT") == "xla"
+               or n % pallas_compact.TILE == 0)):
         # two-phase dispatch (VERDICT r4 item 4): the while_loop runs
         # EVERY lane to the LAST survivor's bounce, but the alive
         # fraction collapses fast (cornellbox 512px, tools/
@@ -1183,10 +1187,16 @@ def trace_wavefront(
         #   first <= cap slots — compaction is a SLICE and the merge a
         #   contiguous dynamic_update_slice; the existing idx-unsort
         #   restores order. Zero gathers.
-        # - non-sort scenes: one stable alive-first argsort + per-field
-        #   gather/scatter (JRT_COMPACT=1 to enable; off by default —
-        #   measured net-negative on cornellbox).
-        cap = max(4096, n // 4)
+        # - non-sort scenes: the Pallas lane-compactor boundary
+        #   (ops/pallas_compact.py) — default ON since round 5
+        #   (flagship 26.5 -> ~35 Mpaths/s measured); requires
+        #   n % 1024 == 0 (other widths run the plain loop).
+        #   JRT_COMPACT=xla keeps the old argsort/gather boundary
+        #   (measured net-negative on cornellbox) for A/B.
+        # boundary position: phase A drains until survivors fit n/DIV.
+        # DIV=4 measured best on the flagship (KNOBS_r05: DIV 2/4/8)
+        cap = max(4096, n // int(os.environ.get("JRT_COMPACT_DIV") or 4))
+        cap = -(-cap // 128) * 128
         stateA = jax.lax.while_loop(
             lambda s: jnp.sum(s.alive.astype(jnp.int32)) > cap,
             body, state,
@@ -1202,6 +1212,38 @@ def trace_wavefront(
                 lambda full, nar: jax.lax.dynamic_update_slice(
                     full, nar, (0,) * full.ndim),
                 stateA, fN)
+        elif (os.environ.get("JRT_COMPACT") != "xla"
+              and n % pallas_compact.TILE == 0):
+            # unsorted tiny tier: the Pallas lane-compactor boundary
+            # (ops/pallas_compact.py). Every XLA formulation measured
+            # ~8.3 ms/sample against 3.9 ms of narrow-loop savings
+            # (DESIGN_compact.md); the Pallas kernels move the ~45
+            # state planes below that floor. Bit-exact incl. uint32
+            # rng and NaN payloads (tests/test_compact.py; payloads
+            # ride int32 end to end). JRT_COMPACT=xla keeps the old
+            # argsort/gather boundary for A/B.
+            interp = jax.default_backend() != "tpu"
+            total = jnp.sum(stateA.alive.astype(jnp.int32))
+            leavesA, treedef = jax.tree_util.tree_flatten(stateA)
+            packed = pallas_compact.compact_state(
+                leavesA, stateA.alive, cap, interpret=interp)
+            sN = jax.tree_util.tree_unflatten(treedef, packed)
+            # slack lanes beyond the survivor count hold unspecified
+            # bits; dead lanes are harmless (alive-gated accumulation,
+            # tmax<0 dispatch) but the mask itself must be real
+            sN = sN._replace(
+                alive=sN.alive & (jnp.arange(cap, dtype=jnp.int32) < total))
+            fN = jax.lax.while_loop(cond, body, sN)
+            merged = pallas_compact.expand_outputs(
+                [fN.radiance, fN.hit_flag, fN.hit_albedo,
+                 fN.hit_normal, fN.rng],
+                stateA.alive,
+                [stateA.radiance, stateA.hit_flag, stateA.hit_albedo,
+                 stateA.hit_normal, stateA.rng],
+                interpret=interp)
+            final = stateA._replace(
+                radiance=merged[0], hit_flag=merged[1],
+                hit_albedo=merged[2], hit_normal=merged[3], rng=merged[4])
         else:
             perm = jnp.argsort(~stateA.alive)  # stable: alive-first
             sel = perm[:cap]

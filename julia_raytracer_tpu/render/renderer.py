@@ -277,7 +277,7 @@ class Renderer:
     # -- per-sample kernel ------------------------------------------------
 
     def _sample_kernel(self, width: int, height: int, chunk: int,
-                       k: int = 1):
+                       k: int = 1, loop_s: int = 1):
         """Compiled fn: (dscene, cam, buffers..., pixel0, sample) -> buffers.
 
         k > 1 traces k CONSECUTIVE samples of the same `chunk` pixels in
@@ -286,17 +286,44 @@ class Renderer:
         k/(s+k) — the same mean as k sequential lerps in exact
         arithmetic. Amortizes per-dispatch host/tunnel overhead for
         scenes whose pixel count is far below MAX_CHUNK (the flagship
-        ran at 82% of its kernel-bound ceiling on dispatch gaps)."""
-        key = (width, height, chunk, k)
+        ran at 82% of its kernel-bound ceiling on dispatch gaps).
+
+        loop_s > 1 advances loop_s CONSECUTIVE samples inside ONE
+        dispatch via lax.fori_loop — lanes stay at chunk, each
+        iteration is the verbatim single-sample computation, so the
+        accumulation is BIT-IDENTICAL to loop_s sequential dispatches
+        (unlike k, which reassociates the mean). This is the per-
+        DISPATCH overhead fix: on the axon tunnel each execute costs
+        ~1.6-1.9 ms regardless of size (K_FUSIONS_r05/PERF_r05), which
+        was ~24% of the flagship wall. Mutually exclusive with k > 1."""
+        key = (width, height, chunk, k, loop_s)
         if key in self._kernel_cache:
             return self._kernel_cache[key]
+        if k > 1 and loop_s > 1:
+            raise ValueError("k-lane and loop_s sample batching are "
+                             "mutually exclusive")
 
         config, options, params = self.config, self.options, self.params
         n_pixels = width * height
         has_envs = config.n_envs > 0
         orthographic = self.cam_arrays.orthographic
 
-        def kernel(dscene, cam, image, albedo, normal, hits, pixel0, sample_id):
+        def kernel(dscene, cam, image, albedo, normal, hits, pixel0,
+                   sample_id0):
+            def one_sample(sample_id, bufs):
+                image, albedo, normal, hits = bufs
+                return _body(dscene, cam, image, albedo, normal, hits,
+                             pixel0, sample_id)
+
+            if loop_s == 1:
+                return one_sample(sample_id0, (image, albedo, normal, hits))
+            return jax.lax.fori_loop(
+                0, loop_s,
+                lambda j, bufs: one_sample(sample_id0 + j, bufs),
+                (image, albedo, normal, hits),
+            )
+
+        def _body(dscene, cam, image, albedo, normal, hits, pixel0, sample_id):
             cam = cam._replace(orthographic=orthographic)
             lane = jnp.arange(chunk * k, dtype=jnp.int32)
             pix_off = lane % chunk
@@ -553,7 +580,22 @@ class Renderer:
         k = 1
         if k_env:
             k = max(1, min(int(k_env), target - state.samples))
-        kernel = self._sample_kernel(state.width, state.height, chunk, k)
+        # in-dispatch sample loop (see _sample_kernel loop_s): default ON
+        # for small non-instanced scenes where the ~1.6-1.9 ms per-
+        # dispatch tunnel cost is a large fraction of the sample time
+        # (flagship 34 -> 40+ Mpaths/s measured); bit-identical
+        # accumulation. JRT_SPP_LOOP overrides (1 disables).
+        loop_s = 1
+        if k == 1:
+            ls_env = os.environ.get("JRT_SPP_LOOP")
+            if ls_env is not None:
+                loop_s = max(1, int(ls_env))
+            elif (self.config.inst_tables is None
+                  and self.config.n_prims < 50_000 and n <= chunk):
+                loop_s = 8
+            loop_s = max(1, min(loop_s, target - state.samples))
+        kernel = self._sample_kernel(state.width, state.height, chunk, k,
+                                     loop_s)
         image, albedo, normal, hits = state.image, state.albedo, state.normal, state.hits
         # Pad buffers to a chunk multiple so dynamic_update_slice start indices
         # are never clamped (clamping would shift the last partial chunk's
@@ -568,11 +610,13 @@ class Renderer:
             normal = jnp.pad(normal, ((0, pad), (0, 0)))
             hits = jnp.pad(hits, ((0, pad),))
         sample = state.samples
+        step = max(k, loop_s)
         while sample < target:
-            kk = min(k, target - sample)
-            if kk != k:  # tail: smaller k needs its own compile
+            kk = min(step, target - sample)
+            if kk != step:  # tail: smaller batch needs its own compile
                 kernel = self._sample_kernel(
-                    state.width, state.height, chunk, kk)
+                    state.width, state.height, chunk,
+                    kk if k > 1 else 1, kk if k == 1 else 1)
             for pixel0 in range(0, n, chunk):
                 image, albedo, normal, hits = kernel(
                     self.dscene, self.cam_arrays, image, albedo, normal, hits,

@@ -249,3 +249,86 @@ def test_determinism_same_seed():
         r.get_image(r.trace_samples(make_trace_state(scene, params)))
     )
     assert (img1 == img2).all()
+
+
+def test_compactor_bit_exact_adversarial():
+    """Pallas lane-compactor (ops/pallas_compact.py) under real Mosaic
+    at flagship scale: compact+expand must move raw 32-bit patterns
+    (denormals, sNaNs, full-range u32) bit-exactly. Guards the int-
+    domain marshal contract — TPU f32 copies flush denormals, which is
+    exactly why the module never lets payloads ride as f32."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.ops import pallas_compact as pc
+
+    rng = np.random.default_rng(3)
+    n, cap = 262144, 65536
+    adv = (
+        rng.integers(0, 2**32, size=3 * n, dtype=np.uint64)
+        .astype(np.uint32).view(np.float32).reshape(n, 3)
+    )
+    leaves = [
+        adv,
+        rng.integers(-(2**31), 2**31, n).astype(np.int32),
+        rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32),
+        rng.integers(0, 2, n).astype(bool),
+    ]
+    alive = rng.random(n) < 0.16
+    alive = alive & (np.cumsum(alive) <= cap)
+    total = int(alive.sum())
+    idx = np.nonzero(alive)[0]
+
+    packed = pc.compact_state(
+        [jnp.asarray(x) for x in leaves], jnp.asarray(alive), cap
+    )
+
+    def bits(a):
+        return np.ascontiguousarray(np.asarray(a)).view(np.uint8)
+
+    for g, leaf in zip(packed, leaves):
+        np.testing.assert_array_equal(
+            bits(np.asarray(g)[:total]), bits(leaf[idx])
+        )
+
+    nar = (
+        rng.integers(0, 2**32, size=cap, dtype=np.uint64)
+        .astype(np.uint32).view(np.float32)
+    )
+    fb = (
+        rng.integers(0, 2**32, size=n, dtype=np.uint64)
+        .astype(np.uint32).view(np.float32)
+    )
+    merged = np.asarray(pc.expand_outputs(
+        [jnp.asarray(nar)], jnp.asarray(alive), [jnp.asarray(fb)]
+    )[0])
+    pos = np.cumsum(alive) - 1
+    want = np.where(
+        alive,
+        nar.view(np.uint32)[np.clip(pos, 0, cap - 1)],
+        fb.view(np.uint32),
+    )
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(merged).view(np.uint32), want
+    )
+
+
+def test_compaction_in_context_matches_plain_loop(monkeypatch):
+    """Flagship-shape render (512px cornellbox) with the Pallas two-
+    phase boundary vs the plain while_loop: same image up to compiler
+    fusion reassociation (the CPU twin in tests/test_compact.py is
+    exactly bit-identical)."""
+    from julia_raytracer_tpu.render.renderer import (
+        Params, Renderer, make_trace_state,
+    )
+    from julia_raytracer_tpu.scene.loader import load_scene
+
+    scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")
+    imgs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("JRT_COMPACT", mode)
+        params = Params(resolution=512, samples=2, batch=2,
+                        bounces=8, sampler="path")
+        r = Renderer(scene, params)
+        state = r.trace_samples(make_trace_state(scene, params))
+        imgs[mode] = np.asarray(r.get_image(state))
+    np.testing.assert_allclose(imgs["0"], imgs["1"], atol=1e-5)
