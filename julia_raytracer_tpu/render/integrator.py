@@ -1193,25 +1193,45 @@ def trace_wavefront(
         #   n % 1024 == 0 (other widths run the plain loop).
         #   JRT_COMPACT=xla keeps the old argsort/gather boundary
         #   (measured net-negative on cornellbox) for A/B.
-        # boundary position: phase A drains until survivors fit n/DIV.
-        # DIV=4 measured best on the flagship (KNOBS_r05: DIV 2/4/8)
-        cap = max(4096, n // int(os.environ.get("JRT_COMPACT_DIV") or 4))
-        cap = -(-cap // 128) * 128
-        stateA = jax.lax.while_loop(
-            lambda s: jnp.sum(s.alive.astype(jnp.int32)) > cap,
-            body, state,
-        )
+        # boundary positions: each level's phase loop drains until
+        # survivors fit width/DIV, then the state narrows and the next
+        # level repeats. DIV=4 measured best on the flagship (KNOBS_r05:
+        # DIV 2/4/8); LEVELS>1 narrows again (n/16, n/64...) for the
+        # late-bounce tail.
+        div = max(2, int(os.environ.get("JRT_COMPACT_DIV") or 4))
+        levels = max(1, int(os.environ.get("JRT_COMPACT_LEVELS") or 1))
+
+        def _phase_cap(width):
+            c = max(4096, width // div)
+            return -(-c // 128) * 128
+
+        def _drain(cur, c):
+            return jax.lax.while_loop(
+                lambda s: jnp.sum(s.alive.astype(jnp.int32)) > c,
+                body, cur)
+
         if do_sort:
-            # one more iteration: its in-body sort packs the <= cap
-            # survivors into the prefix (a few may die after the sort —
-            # alive only shrinks, so the prefix bound holds)
-            stateA = body(stateA)
-            sN = jax.tree_util.tree_map(lambda a: a[:cap], stateA)
-            fN = jax.lax.while_loop(cond, body, sN)
-            final = jax.tree_util.tree_map(
-                lambda full, nar: jax.lax.dynamic_update_slice(
-                    full, nar, (0,) * full.ndim),
-                stateA, fN)
+            # sorted wavefronts: the in-body (liveness, morton) sort
+            # packs survivors into the prefix every iteration, so each
+            # boundary is ONE extra body() + a slice, and the merge a
+            # contiguous dynamic_update_slice. Zero gathers; the
+            # recursion just repeats the trick at width/div^L.
+            snaps, cur, width = [], state, n
+            for _ in range(levels):
+                c = _phase_cap(width)
+                if c >= width:
+                    break
+                sA = _drain(cur, c)
+                sA = body(sA)  # packs <= c survivors into the prefix
+                snaps.append(sA)
+                cur = jax.tree_util.tree_map(lambda a: a[:c], sA)
+                width = c
+            final = jax.lax.while_loop(cond, body, cur)
+            for sA in reversed(snaps):
+                final = jax.tree_util.tree_map(
+                    lambda full, nar: jax.lax.dynamic_update_slice(
+                        full, nar, (0,) * full.ndim),
+                    sA, final)
         elif (os.environ.get("JRT_COMPACT") != "xla"
               and n % pallas_compact.TILE == 0):
             # unsorted tiny tier: the Pallas lane-compactor boundary
@@ -1223,28 +1243,42 @@ def trace_wavefront(
             # ride int32 end to end). JRT_COMPACT=xla keeps the old
             # argsort/gather boundary for A/B.
             interp = jax.default_backend() != "tpu"
-            total = jnp.sum(stateA.alive.astype(jnp.int32))
-            leavesA, treedef = jax.tree_util.tree_flatten(stateA)
-            packed = pallas_compact.compact_state(
-                leavesA, stateA.alive, cap, interpret=interp)
-            sN = jax.tree_util.tree_unflatten(treedef, packed)
-            # slack lanes beyond the survivor count hold unspecified
-            # bits; dead lanes are harmless (alive-gated accumulation,
-            # tmax<0 dispatch) but the mask itself must be real
-            sN = sN._replace(
-                alive=sN.alive & (jnp.arange(cap, dtype=jnp.int32) < total))
-            fN = jax.lax.while_loop(cond, body, sN)
-            merged = pallas_compact.expand_outputs(
-                [fN.radiance, fN.hit_flag, fN.hit_albedo,
-                 fN.hit_normal, fN.rng],
-                stateA.alive,
-                [stateA.radiance, stateA.hit_flag, stateA.hit_albedo,
-                 stateA.hit_normal, stateA.rng],
-                interpret=interp)
-            final = stateA._replace(
-                radiance=merged[0], hit_flag=merged[1],
-                hit_albedo=merged[2], hit_normal=merged[3], rng=merged[4])
+            snaps, cur, width = [], state, n
+            for _ in range(levels):
+                c = _phase_cap(width)
+                if c >= width or width % pallas_compact.TILE:
+                    break
+                sA = _drain(cur, c)
+                total = jnp.sum(sA.alive.astype(jnp.int32))
+                leavesA, treedef = jax.tree_util.tree_flatten(sA)
+                packed = pallas_compact.compact_state(
+                    leavesA, sA.alive, c, interpret=interp)
+                sN = jax.tree_util.tree_unflatten(treedef, packed)
+                # slack lanes beyond the survivor count hold
+                # unspecified bits; dead lanes are harmless
+                # (alive-gated accumulation, tmax<0 dispatch) but the
+                # mask itself must be real
+                sN = sN._replace(
+                    alive=sN.alive
+                    & (jnp.arange(c, dtype=jnp.int32) < total))
+                snaps.append(sA)
+                cur, width = sN, c
+            fN = jax.lax.while_loop(cond, body, cur)
+            outs5 = [fN.radiance, fN.hit_flag, fN.hit_albedo,
+                     fN.hit_normal, fN.rng]
+            for sA in reversed(snaps):
+                outs5 = pallas_compact.expand_outputs(
+                    outs5, sA.alive,
+                    [sA.radiance, sA.hit_flag, sA.hit_albedo,
+                     sA.hit_normal, sA.rng],
+                    interpret=interp)
+            base = snaps[0] if snaps else fN
+            final = base._replace(
+                radiance=outs5[0], hit_flag=outs5[1],
+                hit_albedo=outs5[2], hit_normal=outs5[3], rng=outs5[4])
         else:
+            cap = _phase_cap(n)
+            stateA = _drain(state, cap)
             perm = jnp.argsort(~stateA.alive)  # stable: alive-first
             sel = perm[:cap]
             sN = jax.tree_util.tree_map(lambda a: a[sel], stateA)

@@ -130,7 +130,8 @@ def test_expand_narrow_results_land_on_source_lanes():
     np.testing.assert_array_equal(merged[~alive], fallback[~alive])
 
 
-def test_wavefront_pallas_compaction_bit_identical(monkeypatch):
+@pytest.mark.parametrize("levels", ["1", "2"])
+def test_wavefront_pallas_compaction_bit_identical(monkeypatch, levels):
     """trace_wavefront with the Pallas two-phase boundary must match the
     plain while_loop exactly: dead lanes' outputs are final at the
     boundary and the compactor is bit-exact, so the only code path
@@ -163,6 +164,7 @@ def test_wavefront_pallas_compaction_bit_identical(monkeypatch):
     for mode in ("0", "1"):
         monkeypatch.setenv("JRT_COMPACT", mode)
         monkeypatch.setenv("JRT_COMPACT_MIN", "8192")
+        monkeypatch.setenv("JRT_COMPACT_LEVELS", levels)
         outs[mode] = [
             np.asarray(x)
             for x in trace_wavefront(
@@ -171,3 +173,49 @@ def test_wavefront_pallas_compaction_bit_identical(monkeypatch):
         ]
     for a, b in zip(outs["0"], outs["1"]):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("levels", ["1", "2"])
+def test_wavefront_sorted_slice_compaction_bit_identical(monkeypatch, levels):
+    """Sorted wavefronts: the recursive slice boundary (including
+    LEVELS>1) must match the single while_loop. Tolerance (not exact):
+    the narrow tail compiles as a separate graph and XLA reassociates
+    fusions around the in-body argsort+gathers differently at the two
+    widths (same class of deviation as test_render.py's
+    test_sorted_wavefront_bit_identical, observed <= 2e-6)."""
+    import jax.numpy as jnp
+
+    from julia_raytracer_tpu.scene.loader import load_scene
+    from julia_raytracer_tpu.render.renderer import Params, Renderer
+    from julia_raytracer_tpu.render.integrator import (
+        make_intersect, trace_wavefront,
+    )
+    from julia_raytracer_tpu.ops.camera import sample_camera
+    from julia_raytracer_tpu.utils import rng as rng_mod
+
+    scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")
+    params = Params(resolution=128, samples=1, bounces=6, sampler="path")
+    r = Renderer(scene, params)
+    n = 128 * 128
+    pix = jnp.arange(n, dtype=jnp.int32)
+    rng = rng_mod.seed_state(pix, jnp.int32(0), 0)
+    puv, rng = rng_mod.rand2f(rng)
+    luv, rng = rng_mod.rand2f(rng)
+    ij = jnp.stack([pix % 128, pix // 128], axis=-1)
+    ro, rd = sample_camera(r.cam_arrays, ij, (128, 128), puv, luv, False)
+    isec = make_intersect(r.dscene, r.config)
+    opts = r.options._replace(sort_rays=True, fixed_iterations=0)
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("JRT_COMPACT", mode)
+        monkeypatch.setenv("JRT_COMPACT_MIN", "8192")
+        monkeypatch.setenv("JRT_COMPACT_LEVELS", levels)
+        outs[mode] = [
+            np.asarray(x)
+            for x in trace_wavefront(
+                r.dscene, r.config, opts, ro, rd, rng, intersect=isec
+            )[:4]
+        ]
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_allclose(a, b, atol=2e-5)
