@@ -1196,10 +1196,12 @@ def trace_wavefront(
         # boundary positions: each level's phase loop drains until
         # survivors fit width/DIV, then the state narrows and the next
         # level repeats. DIV=4 measured best on the flagship (KNOBS_r05:
-        # DIV 2/4/8); LEVELS>1 narrows again (n/16, n/64...) for the
-        # late-bounce tail.
+        # DIV 2/4/8); LEVELS narrows again (n/16, n/64) for the
+        # late-bounce tail — monotone wins on both tiers (flagship
+        # steady-state 45.1/46.9/47.4 Mpaths/s, kitchen 2,949/2,835/
+        # 2,805 ms/sample for LEVELS 1/2/3, KNOBS_r05).
         div = max(2, int(os.environ.get("JRT_COMPACT_DIV") or 4))
-        levels = max(1, int(os.environ.get("JRT_COMPACT_LEVELS") or 1))
+        levels = max(1, int(os.environ.get("JRT_COMPACT_LEVELS") or 3))
 
         def _phase_cap(width):
             c = max(4096, width // div)
