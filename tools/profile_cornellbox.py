@@ -32,8 +32,12 @@ def main():
     from julia_raytracer_tpu.utils.timing import fence
 
     scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")
-    params = Params(resolution=512, samples=34, bounces=8, sampler="path",
-                    batch=2)
+    # warm with the SAME batch size as the traced window: the compiled
+    # kernel depends on the batch structure (loop_s in-dispatch sample
+    # loop), and a mismatched warmup puts its compile inside the trace
+    # (bench.py has the same rule)
+    params = Params(resolution=512, samples=64, bounces=8, sampler="path",
+                    batch=32)
     r = Renderer(scene, params)
     state = make_trace_state(scene, params)
     state = r.trace_samples(state)      # warm (compile + 2 spp)
