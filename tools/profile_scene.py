@@ -69,12 +69,15 @@ def main():
     scene_path = f"/root/reference/scenes/{scene_name}/{scene_name}.json"
     scene = load_scene(scene_path)
     params = Params(
-        scene=scene_path, resolution=res, samples=1 + spp, bounces=8,
-        sampler="path", batch=1,
+        scene=scene_path, resolution=res, samples=2 * spp, bounces=8,
+        sampler="path", batch=spp,
     )
     r = Renderer(scene, params)
     state = make_trace_state(scene, params)
-    state = r.trace_samples(state)      # warm batch: compile + 1 spp
+    # warm with the SAME batch size as the traced window: the compiled
+    # kernel depends on batch structure (loop_s), and a mismatched
+    # warmup puts the real kernel's compile inside the trace
+    state = r.trace_samples(state)
     fence(state.image)
 
     r.params.batch = spp
