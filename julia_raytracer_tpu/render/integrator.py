@@ -1195,13 +1195,21 @@ def trace_wavefront(
         #   (measured net-negative on cornellbox) for A/B.
         # boundary positions: each level's phase loop drains until
         # survivors fit width/DIV, then the state narrows and the next
-        # level repeats. DIV=4 measured best on the flagship (KNOBS_r05:
-        # DIV 2/4/8); LEVELS narrows again (n/16, n/64) for the
-        # late-bounce tail — monotone wins on both tiers (flagship
-        # steady-state 45.1/46.9/47.4 Mpaths/s, kitchen 2,949/2,835/
-        # 2,805 ms/sample for LEVELS 1/2/3, KNOBS_r05).
-        div = max(2, int(os.environ.get("JRT_COMPACT_DIV") or 4))
-        levels = max(1, int(os.environ.get("JRT_COMPACT_LEVELS") or 3))
+        # level repeats. Per-path optima differ (KNOBS_r05): sorted
+        # slices are nearly free, so frequent shallow narrowing wins
+        # (kitchen DIV 2/4/8 -> 2,663/2,805/2,792 ms/sample; LEVELS
+        # 3/4/5 at DIV=2 -> 2,663/2,657/2,645); Pallas boundaries cost
+        # ~0.5-1.3 ms each, so fewer deeper ones win (flagship DIV
+        # 2/4/8 -> 31.8/35.3/34.3 Mpaths/s windowed, steady-state
+        # 45.1/46.9/47.4 for LEVELS 1/2/3 at DIV=4).
+        # instanced scenes cap at 3 levels: each extra level re-
+        # instantiates the (huge) hybrid body — ecosys at DIV=2/L5
+        # cold-compiled 31 min for a further -2.4% ms/sample
+        div = max(2, int(os.environ.get("JRT_COMPACT_DIV")
+                         or (2 if do_sort else 4)))
+        deep_ok = config.inst_tables is None
+        levels = max(1, int(os.environ.get("JRT_COMPACT_LEVELS")
+                            or (5 if do_sort and deep_ok else 3)))
 
         def _phase_cap(width):
             c = max(4096, width // div)
