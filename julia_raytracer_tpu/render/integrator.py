@@ -1166,7 +1166,13 @@ def trace_wavefront(
           not in ("0",)
           and n >= int(os.environ.get("JRT_COMPACT_MIN") or 16384)
           and (do_sort or os.environ.get("JRT_COMPACT") == "xla"
-               or n % pallas_compact.TILE == 0)):
+               or n % pallas_compact.TILE == 0)
+          # unsorted compaction is default-on only where it was
+          # measured to win (TPU; the Pallas kernels otherwise run in
+          # interpret mode) — sorted slices are cheap everywhere.
+          # Setting JRT_COMPACT explicitly overrides (tests do).
+          and (do_sort or "JRT_COMPACT" in os.environ
+               or jax.default_backend() == "tpu")):
         # two-phase dispatch (VERDICT r4 item 4): the while_loop runs
         # EVERY lane to the LAST survivor's bounce, but the alive
         # fraction collapses fast (cornellbox 512px, tools/

@@ -395,7 +395,18 @@ class Renderer:
         chunk = min(MAX_CHUNK, n)
         if self.config.inst_tables is not None:
             chunk = min(chunk, 1 << 15)
-        kernel = self._sample_kernel(state.width, state.height, chunk)
+        # reuse whatever (k, loop_s) variant the render already
+        # compiled — requesting (1, 1) after a loop_s=8 render would
+        # pay a fresh megakernel compile; cost scales by the batch
+        per_call = 1
+        kernel = None
+        for (w_, h_, c_, k_, ls_) in self._kernel_cache:
+            if (w_, h_, c_) == (state.width, state.height, chunk):
+                kernel = self._kernel_cache[(w_, h_, c_, k_, ls_)]
+                per_call = k_ * ls_
+                break
+        if kernel is None:
+            kernel = self._sample_kernel(state.width, state.height, chunk)
         n_pad = ((n + chunk - 1) // chunk) * chunk
         sds = jax.ShapeDtypeStruct
         args = (
@@ -410,8 +421,9 @@ class Renderer:
             return {}
         nchunks = -(-n // chunk)
         return {
-            "flops": cost.get("flops", 0.0) * nchunks,
-            "bytes_accessed": cost.get("bytes_accessed", 0.0) * nchunks,
+            "flops": cost.get("flops", 0.0) * nchunks / per_call,
+            "bytes_accessed": (
+                cost.get("bytes_accessed", 0.0) * nchunks / per_call),
             "chunks_per_sample": nchunks,
         }
 

@@ -165,6 +165,10 @@ def test_wavefront_pallas_compaction_bit_identical(monkeypatch, levels):
         monkeypatch.setenv("JRT_COMPACT", mode)
         monkeypatch.setenv("JRT_COMPACT_MIN", "8192")
         monkeypatch.setenv("JRT_COMPACT_LEVELS", levels)
+        # div=2 so levels=2 engages TWO Pallas boundaries at n=16384
+        # (caps 8192 then 4096); the default div=4 would cap-floor out
+        # of the second level and silently duplicate levels=1
+        monkeypatch.setenv("JRT_COMPACT_DIV", "2")
         outs[mode] = [
             np.asarray(x)
             for x in trace_wavefront(

@@ -35,6 +35,10 @@ def capture(k: int, dispatches: int = 8):
     from julia_raytracer_tpu.utils.timing import fence
 
     os.environ["JRT_SPP_K"] = str(k)
+    # pin the in-dispatch sample loop OFF: its default (8) would change
+    # the dispatch shape mid-probe and re-introduce the in-window
+    # compile artifact this tool exists to rule out
+    os.environ["JRT_SPP_LOOP"] = "1"
     n_samples = k * dispatches
     scene = load_scene("/root/reference/scenes/cornellbox/cornellbox.json")
     params = Params(resolution=512, samples=2 * k + n_samples, bounces=8,
@@ -70,6 +74,7 @@ def capture(k: int, dispatches: int = 8):
                 key = "TOTAL:" + e["name"][:24]
             agg[key] += e["dur"]
     os.environ.pop("JRT_SPP_K", None)
+    os.environ.pop("JRT_SPP_LOOP", None)
     # per-sample us
     return {kk: v / n_samples for kk, v in agg.items()}, wall / n_samples
 
