@@ -173,7 +173,7 @@ def _make_compact_kernel(p_pad: int):
 
 def _make_expand_kernel(out_pad: int):
     def kernel(base_ref, lt_ref, l8_ref, bits_ref, narrow_ref, out_ref,
-               wbuf, sem):
+               wbuf, sem, acc_ref):
         t = pl.program_id(0)
         m2 = bits_ref[0]
         cnt = jnp.sum(m2).astype(jnp.int32)
@@ -199,25 +199,26 @@ def _make_expand_kernel(out_pad: int):
 
             cp.wait()
 
-            # accumulate across the unrolled blocks via where-gating
-            # (each lane receives from exactly one block, the rest
-            # contribute zero; a pl.when-gated scratch accumulator like
-            # the unpack kernel's would also work but needs a VMEM ref)
-            acc = jnp.zeros((4 * out_pad, TILE), jnp.float32)
+            # pl.when-gated scratch accumulation (the regroup unpack
+            # kernel's pattern): dead window blocks skip their dots
+            # entirely — a tile's survivors span idx_last+1 (usually
+            # 1-2) of the WIN blocks, not all 9
+            acc_ref[:, :] = jnp.zeros((4 * out_pad, TILE), jnp.float32)
             for b in range(WIN):
-                live = idx_last >= b
-                cb = _chunk_rows(wbuf[b])              # [4*OP, 128] f32
-                pb = jnp.where(
-                    (pos3 == lane3 + jnp.float32(b * LANES)) & m3,
-                    1.0, 0.0,
-                ).reshape(TILE, LANES)
-                part = jax.lax.dot_general(
-                    cb, pb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # [4*OP, TILE]
-                acc = acc + jnp.where(live, part, 0.0)
+                @pl.when(idx_last >= b)
+                def _(b=b):
+                    cb = _chunk_rows(wbuf[b])          # [4*OP, 128] f32
+                    pb = jnp.where(
+                        (pos3 == lane3 + jnp.float32(b * LANES)) & m3,
+                        1.0, 0.0,
+                    ).reshape(TILE, LANES)
+                    part = jax.lax.dot_general(
+                        cb, pb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                  # [4*OP, TILE]
+                    acc_ref[:, :] = acc_ref[:, :] + part
 
-            out_ref[0] = _recombine(acc, out_pad)      # [OP, TILE] i32
+            out_ref[0] = _recombine(acc_ref[:, :], out_pad)
 
     return kernel
 
@@ -377,6 +378,7 @@ def expand_outputs(narrow_leaves, alive, fallback_leaves,
         scratch_shapes=[
             pltpu.VMEM((WIN, out_pad, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((4 * out_pad, TILE), jnp.float32),
         ],
     )
     out = pl.pallas_call(
