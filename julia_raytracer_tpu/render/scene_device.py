@@ -10,6 +10,7 @@ autodiff — material/texture/emission arrays are differentiable leaves.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -206,6 +207,13 @@ def _should_instance(scene_data) -> bool:
 
 HYBRID_MIN_INSTANCES = 1024  # below this the work-item model is cheap
 HYBRID_FLAT_BUDGET = 8_000_000  # world prims the hybrid may flatten
+# full flatten (NO work-item branch) when the whole expanded scene fits
+# comfortably in HBM: ~128 B/prim of intersector tables -> 24M prims ~
+# 3.1 GB of the v5e's 16. Ecosys (16.8M world prims, 2.15 GB) measured
+# 3,801 vs 4,455 ms/sample against the 8M hybrid — the flat soup is
+# regroup-decisive (ratio 0.2) while the work-item kernel pays the
+# per-block union of overlapping instance items (KNOBS_r05).
+HYBRID_FULL_FLAT_MAX = 24_000_000
 
 
 def build_device_scene_instanced(
@@ -236,11 +244,22 @@ def build_device_scene_instanced(
     g = flat.geometry
 
     if hybrid_budget is None:
-        hybrid_budget = (
-            HYBRID_FLAT_BUDGET
-            if flat.n_instances >= HYBRID_MIN_INSTANCES
-            else 0
-        )
+        env_budget = os.environ.get("JRT_HYBRID_BUDGET")
+        if env_budget is not None:
+            hybrid_budget = int(env_budget)
+        elif flat.n_instances >= HYBRID_MIN_INSTANCES:
+            pp = np.diff(g.shape_prim_offset).astype(np.int64)
+            inst_shape = g.inst_shape[: flat.n_instances]
+            valid = (inst_shape >= 0) & (inst_shape < flat.n_shapes)
+            cnt = np.bincount(inst_shape[valid], minlength=flat.n_shapes)
+            total_world = int((pp * cnt).sum())
+            hybrid_budget = (
+                total_world + 1
+                if total_world <= HYBRID_FULL_FLAT_MAX
+                else HYBRID_FLAT_BUDGET
+            )
+        else:
+            hybrid_budget = 0
     hyb_pv = hyb_inst = hyb_remap = None
     instance_mask = None
     if hybrid_budget > 0:
