@@ -62,7 +62,11 @@ SCENES = {
     "shapes2": (256, 32, 8, 0.030, 45, "missing shape: displacedsubdiv"),
     "features1": (192, 32, 8, 0.015, 120, ""),
     "features2": (192, 32, 8, 0.030, 45, "missing shapes: hairball, displacedsubdiv"),
-    "coffee": (192, 32, 8, 0.015, 50, ""),
+    # coffee healthy warm render measured 26.6 s this era (round 5);
+    # the old 50 s budget was < 2x that and tripped on ordinary tunnel
+    # variance (26.6 / 54.5 / 59.5 across same-code runs) — 80 ≈ 3x
+    # healthy per the rule above
+    "coffee": (192, 32, 8, 0.015, 80, ""),
     "staircase1": (160, 48, 8, 0.030, 45, "3 placeholder textures"),
     "staircase2": (200, 32, 8, 0.030, 90, ""),
     "classroom": (192, 256, 8, 0.012, 2200, "converges monotonically to golden: MSE 0.0050 @256spp, 0.0028 @512 (CONVERGENCE_r03.json)"),
