@@ -259,3 +259,31 @@ def test_hybrid_render_matches_pure_instanced(inst_scene):
         imgs.append(np.asarray(rad))
         assert np.isfinite(imgs[-1]).all()
     np.testing.assert_allclose(imgs[0], imgs[1], rtol=2e-3, atol=2e-3)
+
+
+def test_hybrid_budget_full_flatten_auto(monkeypatch):
+    """The HBM-aware hybrid budget (PERF_r05 ecosys endgame): a
+    many-instance scene whose FULL expansion fits the cap flattens
+    entirely (zero work items — the work-item branch disappears);
+    an explicit smaller budget keeps instances as work items."""
+    rng = np.random.default_rng(3)
+    shape = _icosphere_like(rng, 8, 0.3)
+    mats = [MaterialData(color=np.array([0.7, 0.7, 0.7], np.float32))]
+    instances = [
+        InstanceData(
+            frame=_frame((i * 7) % 360, [i % 40, i // 40, 0]),
+            shape=0, material=0,
+        )
+        for i in range(1100)  # >= HYBRID_MIN_INSTANCES
+    ]
+    scene = SceneData(
+        cameras=[CameraData()], shapes=[shape], materials=mats,
+        instances=instances,
+    )
+    _, cfg = build_device_scene_instanced(scene)
+    assert len(cfg.inst_tables.wi_sup) == 0, "full expansion fits -> no work items"
+
+    # budget below one shape's world footprint: nothing flattens
+    monkeypatch.setenv("JRT_HYBRID_BUDGET", "2000")
+    _, cfg2 = build_device_scene_instanced(scene)
+    assert len(cfg2.inst_tables.wi_sup) > 0
